@@ -1,0 +1,23 @@
+"""Test harness: force an 8-virtual-device CPU backend before JAX loads.
+
+Multi-chip sharding logic is validated on a host-platform device mesh
+(the idiomatic JAX replacement for the reference's absent distributed tests —
+SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(233)  # the reference's default seed
