@@ -1,0 +1,126 @@
+"""Flagship benchmark: KA-distillation training throughput, horse2zebra spec.
+
+Measures the FULL optimisation step — frozen teacher (ngf 64) forward,
+student (pruned to the reference's 2.6e9-MAC budget) forward/backward, both
+Adam updates, KA + GAN + recon losses — at 256x256 on the attached chip, and
+prints one JSON line:
+
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against the throughput recorded the first time
+this benchmark ran (BENCH_BASELINE.json), i.e. round-over-round speedup;
+the reference repo publishes no absolute throughput numbers (BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+SIZE = 256
+BATCH = 8
+WARMUP = 3
+ITERS = 10
+
+
+def build():
+    from cat_tpu.compress.shrink import PruneBounds, shrink_generator
+    from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
+    from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
+
+    teacher_cfg = InceptionGeneratorConfig.make(
+        ngf=64,
+        channels=None,
+        channels_reduction_factor=6,
+        kernel_sizes=(1, 3, 5),
+        n_blocks=9,
+        norm=NormConfig(kind="instance", affine=True, track_running_stats=False),
+    )
+    from cat_tpu.models.generator import InceptionGenerator
+
+    teacher = InceptionGenerator(teacher_cfg)
+    rng = jax.random.PRNGKey(233)
+    teacher_vars = teacher.init(rng, jnp.zeros((1, SIZE, SIZE, 3)))
+
+    # Shrink a (randomly-initialised) teacher to the 2.6e9-MAC budget the
+    # reference ships for horse2zebra; spread the scales first so the search
+    # has signal (a trained teacher's scales are naturally spread).
+    import numpy as np
+
+    def spread(tree, rs):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = spread(v, rs)
+            elif k == "scale":
+                out[k] = jnp.asarray(rs.uniform(0.05, 2.0, np.asarray(v).shape), jnp.float32)
+            else:
+                out[k] = v
+        return out
+
+    tv = {"params": spread(teacher_vars["params"], np.random.RandomState(0))}
+    res = shrink_generator(teacher_cfg, tv, 2.6e9, SIZE, SIZE, PruneBounds(cin_lb=16))
+
+    hp = DistillHParams(
+        dataset_mode="unaligned",
+        gan_mode="lsgan",
+        distill_loss_type="ka",
+        lambda_recon=5.0,
+        lambda_distill=1.0,
+    )
+    dist = InceptionDistiller(teacher_cfg, res.config, hp=hp)
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(0), SIZE, SIZE, teacher_vars
+    )
+    return dist, state, teacher_vars, res
+
+
+def main():
+    dist, state, teacher_vars, res = build()
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "A": jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32),
+        "B": jax.random.normal(jax.random.fold_in(rng, 1), (BATCH, SIZE, SIZE, 3), jnp.float32),
+    }
+    for _ in range(WARMUP):
+        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    ips = BATCH * ITERS / dt
+
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)["images_per_sec"]
+    else:
+        base = ips
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {
+                    "images_per_sec": ips,
+                    "note": "round-1 measurement; vs_baseline is round-over-round",
+                    "student_macs": res.searched_macs,
+                },
+                f,
+                indent=2,
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "horse2zebra KA-distill step throughput (teacher ngf64 + student @2.6e9 MACs, 256px, batch 8)",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / base, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Fréchet Inception Distance.
+
+Reference: metric/fid_score.py (activation harvesting 152-214, Fréchet
+distance with singular-covariance retry 217-274, stats caching 277-350) and
+the get_fid façade (metric/__init__.py:11-21).
+
+Device work (Inception features) is jitted and batched; the Fréchet distance
+itself is host-side numpy/scipy (matrix sqrtm has no TPU-friendly form and
+is a one-off 2048x2048 computation).
+
+Parity note: the reference quantises generated images to uint8 via
+tensor2im before feeding the judge (metric/__init__.py:13-14).  ``get_fid``
+reproduces that round-trip so scores are comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from cat_tpu.metrics.inception import InceptionV3FID
+
+
+def tensor2im_batch(images: np.ndarray) -> np.ndarray:
+    """[-1,1] float NHWC -> uint8 NHWC (reference utils/util.py:58-88)."""
+    arr = (np.asarray(images) + 1.0) / 2.0 * 255.0
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def make_activation_fn(model: InceptionV3FID, variables: Dict):
+    @jax.jit
+    def run(x01: jnp.ndarray) -> jnp.ndarray:
+        feats = model.apply(variables, x01)
+        return feats[-1]
+
+    return run
+
+
+def get_activations(
+    images_u8: np.ndarray,
+    model: InceptionV3FID,
+    variables: Dict,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Inception features for a uint8 NHWC image stack (values 0..255)."""
+    run = make_activation_fn(model, variables)
+    n = images_u8.shape[0]
+    outs = []
+    for i in range(0, n, batch_size):
+        chunk = images_u8[i : i + batch_size]
+        pad = 0
+        if chunk.shape[0] < batch_size and n > batch_size:
+            # keep a single compiled shape
+            pad = batch_size - chunk.shape[0]
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+        feats = np.asarray(run(jnp.asarray(chunk, jnp.float32) / 255.0))
+        if pad:
+            feats = feats[: batch_size - pad]
+        outs.append(feats)
+    return np.concatenate(outs, axis=0)
+
+
+def compute_statistics(act: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(act, axis=0)
+    sigma = np.cov(act, rowvar=False)
+    return mu, sigma
+
+
+def calculate_frechet_distance(
+    mu1: np.ndarray,
+    sigma1: np.ndarray,
+    mu2: np.ndarray,
+    sigma2: np.ndarray,
+    eps: float = 1e-6,
+) -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)), with the reference's
+    eps-offset retry for near-singular products and imaginary-part check."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def get_fid(
+    fakes: np.ndarray,
+    model: InceptionV3FID,
+    variables: Dict,
+    real_stats: Dict[str, np.ndarray],
+    batch_size: int = 32,
+) -> float:
+    """FID of generated images ([-1,1] float NHWC) vs cached real statistics
+    ({'mu','sigma'} npz, produced by get_real_stat)."""
+    ims = tensor2im_batch(fakes)
+    act = get_activations(ims, model, variables, batch_size)
+    mu, sigma = compute_statistics(act)
+    return calculate_frechet_distance(
+        mu, sigma, real_stats["mu"], real_stats["sigma"]
+    )
+
+
+def compute_real_stats(
+    images_m11: np.ndarray,
+    model: InceptionV3FID,
+    variables: Dict,
+    batch_size: int = 32,
+) -> Dict[str, np.ndarray]:
+    """{'mu','sigma'} of a real-image set (= get_real_stat.py:24-48)."""
+    ims = tensor2im_batch(images_m11)
+    act = get_activations(ims, model, variables, batch_size)
+    mu, sigma = compute_statistics(act)
+    return {"mu": mu, "sigma": sigma}

@@ -1,0 +1,73 @@
+"""GAN and reconstruction objectives.
+
+Reference: models/modules/loss.py:8-99 (GANLoss: lsgan | vanilla | wgangp |
+hinge, incl. multiscale-list handling) and the recon-loss selection in
+distillers/base_inception_distiller.py:171-181.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+Pred = Union[jnp.ndarray, Sequence]
+
+
+def _bce_with_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    # mean BCE-with-logits against a constant target
+    t = jnp.full_like(logits, target)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def gan_loss(
+    prediction: Pred,
+    target_is_real: bool,
+    mode: str = "lsgan",
+    for_discriminator: bool = True,
+) -> jnp.ndarray:
+    """GAN objective on discriminator logits.
+
+    For multiscale discriminators ``prediction`` may be a list (of lists —
+    feature pyramids, where the last entry is the logit map); hinge averages
+    the per-scale means, matching the reference.
+    """
+    if isinstance(prediction, (list, tuple)):
+        losses = []
+        for pred_i in prediction:
+            if isinstance(pred_i, (list, tuple)):
+                pred_i = pred_i[-1]
+            losses.append(gan_loss(pred_i, target_is_real, mode, for_discriminator))
+        return sum(losses) / len(losses)
+
+    if mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean(jnp.square(prediction - target))
+    if mode == "vanilla":
+        return _bce_with_logits(prediction, 1.0 if target_is_real else 0.0)
+    if mode == "wgangp":
+        return -jnp.mean(prediction) if target_is_real else jnp.mean(prediction)
+    if mode == "hinge":
+        if for_discriminator:
+            if target_is_real:
+                return -jnp.mean(jnp.minimum(prediction - 1.0, 0.0))
+            return -jnp.mean(jnp.minimum(-prediction - 1.0, 0.0))
+        assert target_is_real, "hinge generator loss is only defined for real targets"
+        return -jnp.mean(prediction)
+    raise NotImplementedError(f"gan mode {mode} not implemented")
+
+
+def recon_loss(x: jnp.ndarray, y: jnp.ndarray, kind: str = "l1") -> jnp.ndarray:
+    """Reconstruction objective (l1 | l2 | smooth_l1)."""
+    if kind == "l1":
+        return jnp.mean(jnp.abs(x - y))
+    if kind == "l2":
+        return jnp.mean(jnp.square(x - y))
+    if kind == "smooth_l1":
+        d = x - y
+        ad = jnp.abs(d)
+        return jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
+    raise NotImplementedError(f"recon loss {kind!r} not implemented")

@@ -1,0 +1,67 @@
+"""Shared training-state containers and module-application helpers.
+
+Each task model (pix2pix / cyclegan / distillers) is a thin class holding
+static module definitions + hyperparameters; all mutable quantities live in
+one pytree ``GANTrainState`` threaded through a single jitted, buffer-donated
+``train_step``.  This replaces the reference's BaseModel attribute soup +
+per-call DataParallel scatter/gather (models/base_model.py:12-232).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class NetState:
+    """Parameters + Adam moments + (optional) batch stats for one net group."""
+
+    params: Any
+    opt_state: Any
+    stats: Any  # batch_stats dict; {} when the net has no tracked norms
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray
+    g: NetState
+    d: NetState
+    rng: jax.Array
+    extra: Any = None  # task-specific (e.g. CycleGAN image pools)
+
+
+def split_variables(variables: Dict) -> Tuple[Any, Any]:
+    """(params, batch_stats-or-{}) from a flax init result."""
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def merge_variables(params: Any, stats: Any) -> Dict:
+    v = {"params": params}
+    if stats:
+        v["batch_stats"] = stats
+    return v
+
+
+def apply_net(
+    module,
+    params: Any,
+    stats: Any,
+    *args,
+    train: bool = False,
+    mutable_stats: bool = False,
+    rngs: Optional[Dict] = None,
+    **kwargs,
+):
+    """Apply a flax module, returning (outputs, new_stats)."""
+    variables = merge_variables(params, stats)
+    if mutable_stats and stats:
+        out, new_vars = module.apply(
+            variables, *args, train=train, mutable=["batch_stats"], rngs=rngs, **kwargs
+        )
+        return out, new_vars["batch_stats"]
+    out = module.apply(variables, *args, train=train, rngs=rngs, **kwargs)
+    return out, stats

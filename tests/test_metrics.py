@@ -1,0 +1,126 @@
+"""Metrics: Fréchet distance, KID MMD, mIoU histogram, Inception judge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cat_tpu.metrics.fid import (
+    calculate_frechet_distance,
+    compute_statistics,
+    get_fid,
+    tensor2im_batch,
+)
+from cat_tpu.metrics.inception import InceptionV3FID
+from cat_tpu.metrics.kid import kid_score, polynomial_mmd
+from cat_tpu.metrics.miou import fast_hist, mean_iou, per_class_iou
+
+
+# --------------------------------------------------------------------- FID
+
+
+def test_frechet_identical_is_zero(rng):
+    act = rng.randn(500, 8)
+    mu, sigma = compute_statistics(act)
+    assert abs(calculate_frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_mean_shift_analytic():
+    # N(0, I) vs N(m, I): d^2 = |m|^2
+    d = 6
+    mu1, mu2 = np.zeros(d), np.full(d, 2.0)
+    sigma = np.eye(d)
+    got = calculate_frechet_distance(mu1, sigma, mu2, sigma)
+    np.testing.assert_allclose(got, d * 4.0, rtol=1e-6)
+
+
+def test_frechet_variance_analytic():
+    # N(0, a I) vs N(0, b I): d^2 = d*(a + b - 2 sqrt(ab))
+    d = 4
+    a, b = 2.0, 0.5
+    got = calculate_frechet_distance(
+        np.zeros(d), a * np.eye(d), np.zeros(d), b * np.eye(d)
+    )
+    np.testing.assert_allclose(got, d * (a + b - 2 * np.sqrt(a * b)), rtol=1e-6)
+
+
+def test_frechet_singular_retry(rng):
+    # rank-deficient covariances trigger the eps-offset path
+    d = 5
+    act1 = rng.randn(3, d)  # fewer samples than dims => singular cov
+    act2 = rng.randn(3, d)
+    mu1, s1 = compute_statistics(act1)
+    mu2, s2 = compute_statistics(act2)
+    val = calculate_frechet_distance(mu1, s1, mu2, s2)
+    assert np.isfinite(val)
+
+
+def test_tensor2im_roundtrip():
+    x = np.array([-1.0, 0.0, 1.0]).reshape(1, 1, 3, 1)
+    out = tensor2im_batch(x)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out.ravel(), [0, 127, 255])
+
+
+# --------------------------------------------------------------------- KID
+
+
+def test_mmd_identical_distributions_near_zero(rng):
+    x = rng.randn(400, 16)
+    y = rng.randn(400, 16)
+    near = polynomial_mmd(x, y)
+    far = polynomial_mmd(x, y + 3.0)
+    assert abs(near) < 0.5
+    assert far > 10 * abs(near)
+
+
+def test_kid_score_subsets(rng):
+    x = rng.randn(300, 8)
+    y = rng.randn(300, 8) + 1.0
+    mean, std = kid_score(x, y, n_subsets=10, subset_size=50, seed=0)
+    assert mean > 0
+    assert std >= 0
+
+
+# --------------------------------------------------------------------- mIoU
+
+
+def test_fast_hist_and_miou():
+    pred = np.array([0, 1, 2, 1])
+    label = np.array([0, 1, 1, 255])  # 255 = ignore
+    hist = fast_hist(pred, label, 3)
+    assert hist.sum() == 3  # ignored pixel dropped
+    assert hist[0, 0] == 1 and hist[1, 1] == 1 and hist[1, 2] == 1
+    ious = per_class_iou(hist)
+    np.testing.assert_allclose(ious[0], 1.0)
+    np.testing.assert_allclose(ious[1], 0.5)
+    perfect = fast_hist(np.arange(3), np.arange(3), 3)
+    assert mean_iou(perfect) == 100.0
+
+
+# ---------------------------------------------------------------- Inception
+
+
+@pytest.mark.slow
+def test_inception_forward_shapes():
+    model = InceptionV3FID(output_blocks=(0, 3))
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    f0, f3 = model.apply(variables, x)
+    assert f0.shape[0] == 2 and f0.shape[-1] == 64
+    assert f3.shape == (2, 2048)
+
+
+@pytest.mark.slow
+def test_get_fid_pipeline(rng):
+    """End-to-end FID with a random-weight judge: same set ~ 0, disjoint > 0."""
+    model = InceptionV3FID(output_blocks=(3,))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    fakes = rng.uniform(-1, 1, size=(8, 32, 32, 3)).astype(np.float32)
+    act = tensor2im_batch(fakes)
+    from cat_tpu.metrics.fid import get_activations
+
+    feats = get_activations(act, model, variables, batch_size=4)
+    mu, sigma = compute_statistics(feats)
+    fid_same = get_fid(fakes, model, variables, {"mu": mu, "sigma": sigma}, batch_size=4)
+    assert abs(fid_same) < 1e-2

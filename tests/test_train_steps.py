@@ -1,0 +1,131 @@
+"""Smoke + semantics tests for the jitted GAN train steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cat_tpu.core.config import InceptionGeneratorConfig, NLayerDiscriminatorConfig, NormConfig
+from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
+from cat_tpu.train.cyclegan import CycleGANHParams, CycleGANTask
+from cat_tpu.train.pix2pix import Pix2PixHParams, Pix2PixTask
+from cat_tpu.utils.image_pool import pool_init, pool_query
+
+SIZE = 32
+
+
+def tiny_gen(ngf=4):
+    return InceptionGeneratorConfig.make(
+        ngf=ngf,
+        channels=None,
+        channels_reduction_factor=2,
+        kernel_sizes=(1, 3),
+        n_blocks=3,
+        norm=NormConfig(kind="instance", affine=True, track_running_stats=False),
+    )
+
+
+def fake_batch(rng, n=2):
+    return {
+        "A": jnp.asarray(rng.randn(n, SIZE, SIZE, 3), jnp.float32),
+        "B": jnp.asarray(rng.randn(n, SIZE, SIZE, 3), jnp.float32),
+    }
+
+
+def leaves_changed(a, b):
+    return any(
+        not np.allclose(x, y)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_pix2pix_step(rng):
+    task = Pix2PixTask(tiny_gen(), NLayerDiscriminatorConfig(input_nc=6, ndf=4))
+    state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    g0 = jax.tree.map(np.asarray, state.g.params)
+    batch = fake_batch(rng)
+    state, metrics = task.train_step(state, batch, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert set(metrics) == {"G_loss/gan", "G_loss/recon", "D_loss/fake", "D_loss/real"}
+    assert leaves_changed(g0, state.g.params)
+    assert int(state.step) == 1
+    out = task.generate(state, batch["A"])
+    assert out.shape == batch["A"].shape
+
+
+def test_cyclegan_step(rng):
+    task = CycleGANTask(
+        tiny_gen(), NLayerDiscriminatorConfig(input_nc=3, ndf=4), CycleGANHParams()
+    )
+    state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    batch = fake_batch(rng)
+    state, metrics = task.train_step(state, batch, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    for key in ("G_loss/cycle_A", "G_loss/idt_A", "D_loss/A", "D_loss/B"):
+        assert key in metrics
+    # pools absorbed the first fakes
+    assert int(state.extra.fake_A.count) == 2
+    state, _ = task.train_step(state, fake_batch(rng), 2e-4)
+    assert int(state.extra.fake_A.count) == 4
+    out = task.generate(state, batch["A"], "AtoB")
+    assert out.shape == batch["A"].shape
+
+
+def _distill(loss_type, rng, mode="aligned"):
+    teacher_cfg = tiny_gen(ngf=8)
+    student_cfg = tiny_gen(ngf=4)
+    hp = DistillHParams(
+        dataset_mode=mode,
+        gan_mode="lsgan",
+        distill_loss_type=loss_type,
+        lambda_recon=5.0,
+        lambda_distill=1.0,
+        mapping_layers=("encode", "block1"),
+    )
+    dist = InceptionDistiller(teacher_cfg, student_cfg, hp=hp)
+    teacher_vars = dist.netG_teacher.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, 3))
+    )
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(0), SIZE, SIZE, teacher_vars
+    )
+    batch = fake_batch(rng)
+    state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    return dist, state, teacher_vars, metrics, batch
+
+
+def test_distiller_ka_step(rng):
+    dist, state, tv, metrics, batch = _distill("ka", rng)
+    assert np.isfinite(metrics["G_loss/distill"])
+    # KA of random independent activations is small but positive => -KA < 0
+    assert metrics["Specific_loss/distill0"] < 0.5
+    out = dist.generate_student(state, batch["A"])
+    assert out.shape == batch["A"].shape
+
+
+def test_distiller_mse_step(rng):
+    dist, state, tv, metrics, _ = _distill("mse", rng)
+    assert metrics["G_loss/distill"] > 0  # MSE is nonnegative
+    # adaptor params received gradients
+    a0 = state.g.params["A"]["A0"]["conv"]["kernel"]
+    assert np.isfinite(np.asarray(a0)).all()
+
+
+def test_distiller_unaligned_step(rng):
+    _, state, _, metrics, _ = _distill("ka", rng, mode="unaligned")
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+
+
+def test_image_pool_semantics():
+    pool = pool_init(4, 2, 2, 1)
+    imgs = jnp.arange(8, dtype=jnp.float32).reshape(8, 1, 1, 1) * jnp.ones((8, 2, 2, 1))
+    # first 4 pass through and fill the pool
+    pool, out = pool_query(pool, imgs[:4], jax.random.PRNGKey(0))
+    np.testing.assert_allclose(out, imgs[:4])
+    assert int(pool.count) == 4
+    # afterwards outputs are either the incoming image or a buffered one
+    pool2, out2 = pool_query(pool, imgs[4:], jax.random.PRNGKey(1))
+    assert int(pool2.count) == 4
+    buffered = set(float(v) for v in np.asarray(pool.buffer)[:, 0, 0, 0])
+    for i, v in enumerate(np.asarray(out2)[:, 0, 0, 0]):
+        assert float(v) == float(imgs[4 + i, 0, 0, 0]) or float(v) in buffered
+        buffered = set(float(x) for x in np.asarray(pool2.buffer)[:, 0, 0, 0]) | buffered
