@@ -40,10 +40,14 @@ def build():
         norm=NormConfig(kind="instance", affine=True, track_running_stats=False),
     )
     from cat_tpu.models.generator import InceptionGenerator
+    from cat_tpu.train.common import init_on_cpu
 
     teacher = InceptionGenerator(teacher_cfg)
     rng = jax.random.PRNGKey(233)
-    teacher_vars = teacher.init(rng, jnp.zeros((1, SIZE, SIZE, 3)))
+    # init on host: eager dispatch on the accelerator pays a per-op compile
+    teacher_vars = init_on_cpu(
+        lambda: teacher.init(rng, jnp.zeros((1, SIZE, SIZE, 3)))
+    )
 
     # Shrink a (randomly-initialised) teacher to the 2.6e9-MAC budget the
     # reference ships for horse2zebra; spread the scales first so the search

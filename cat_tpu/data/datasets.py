@@ -1,0 +1,181 @@
+"""Datasets: aligned (pix2pix AB pairs), unaligned (CycleGAN), single (eval).
+
+Reference: data/aligned_dataset.py, unaligned_dataset.py, single_dataset.py,
+image_folder.py.  Batches are dicts of float32 NHWC arrays in [-1, 1] plus
+path lists — the same contract as the reference's loaders, transposed to
+TPU layout.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import random
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from cat_tpu.data.loader import DataLoader
+from cat_tpu.data.transforms import TransformSpec, apply_transform, get_params
+
+IMG_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp",
+)
+
+
+def natural_sort(items: List[str]) -> List[str]:
+    def key(s):
+        return [int(t) if t.isdigit() else t.lower() for t in re.split(r"(\d+)", s)]
+
+    return sorted(items, key=key)
+
+
+def make_dataset(directory: str, max_size: int = -1) -> List[str]:
+    """Recursive image scan (reference data/image_folder.py:40-72)."""
+    images = []
+    for root, _, fnames in sorted(os.walk(directory)):
+        for fname in sorted(fnames):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                images.append(os.path.join(root, fname))
+    images = natural_sort(images)
+    if max_size > 0:
+        images = images[:max_size]
+    return images
+
+
+class AlignedDataset:
+    """AB side-by-side images split in half; A and B share transform params
+    (reference data/aligned_dataset.py:32-58)."""
+
+    def __init__(self, dataroot: str, phase: str = "train",
+                 spec: Optional[TransformSpec] = None,
+                 direction: str = "AtoB", max_size: int = -1,
+                 seed: Optional[int] = None):
+        self.dir_AB = os.path.join(dataroot, phase)
+        self.paths = make_dataset(self.dir_AB, max_size)
+        self.spec = spec or TransformSpec()
+        self.direction = direction
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        path = self.paths[index]
+        ab = Image.open(path).convert("RGB")
+        w, h = ab.size
+        w2 = w // 2
+        a = ab.crop((0, 0, w2, h))
+        b = ab.crop((w2, 0, w, h))
+        params = get_params(self.spec, a.size, self.rng)
+        a_arr = apply_transform(a, self.spec, params)
+        b_arr = apply_transform(b, self.spec, params)
+        if self.direction == "BtoA":
+            a_arr, b_arr = b_arr, a_arr
+        return {"A": a_arr, "B": b_arr, "A_paths": path, "B_paths": path}
+
+
+class UnalignedDataset:
+    """trainA/trainB with random B pairing unless serial
+    (reference data/unaligned_dataset.py:47-72)."""
+
+    def __init__(self, dataroot: str, phase: str = "train",
+                 spec: Optional[TransformSpec] = None,
+                 serial_batches: bool = False, max_size: int = -1,
+                 seed: Optional[int] = None):
+        self.paths_A = make_dataset(os.path.join(dataroot, phase + "A"), max_size)
+        self.paths_B = make_dataset(os.path.join(dataroot, phase + "B"), max_size)
+        self.spec = spec or TransformSpec()
+        self.serial = serial_batches
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return max(len(self.paths_A), len(self.paths_B))
+
+    def __getitem__(self, index: int) -> Dict:
+        path_a = self.paths_A[index % len(self.paths_A)]
+        if self.serial:
+            path_b = self.paths_B[index % len(self.paths_B)]
+        else:
+            path_b = self.paths_B[self.rng.randint(0, len(self.paths_B) - 1)]
+        a = Image.open(path_a)
+        b = Image.open(path_b)
+        a_arr = apply_transform(a, self.spec, get_params(self.spec, a.size, self.rng))
+        b_arr = apply_transform(b, self.spec, get_params(self.spec, b.size, self.rng))
+        return {"A": a_arr, "B": b_arr, "A_paths": path_a, "B_paths": path_b}
+
+
+class SingleDataset:
+    """One-directory loader for evaluation (reference data/single_dataset.py)."""
+
+    def __init__(self, dataroot: str, phase: str = "valA",
+                 spec: Optional[TransformSpec] = None, max_size: int = -1):
+        root = os.path.join(dataroot, phase)
+        if not os.path.isdir(root):
+            root = dataroot
+        self.paths = make_dataset(root, max_size)
+        self.spec = spec or TransformSpec()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        path = self.paths[index]
+        img = Image.open(path)
+        arr = apply_transform(img, self.spec, None)
+        return {"A": arr, "A_paths": path}
+
+
+# ---------------------------------------------------------------------------
+# loader factories (reference data/__init__.py:35-65)
+# ---------------------------------------------------------------------------
+
+
+def create_dataloader(
+    dataset_mode: str,
+    dataroot: str,
+    batch_size: int,
+    spec: Optional[TransformSpec] = None,
+    phase: str = "train",
+    direction: str = "AtoB",
+    serial_batches: bool = False,
+    max_size: int = -1,
+    seed: Optional[int] = None,
+    drop_last: bool = True,
+) -> DataLoader:
+    if dataset_mode == "aligned":
+        ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed)
+    elif dataset_mode == "unaligned":
+        ds = UnalignedDataset(dataroot, phase, spec, serial_batches, max_size, seed)
+    elif dataset_mode == "single":
+        ds = SingleDataset(dataroot, phase, spec, max_size)
+    else:
+        raise NotImplementedError(f"dataset mode [{dataset_mode}] not implemented")
+    return DataLoader(ds, batch_size, shuffle=not serial_batches, seed=seed,
+                      drop_last=drop_last)
+
+
+def create_eval_dataloader(
+    dataset_mode: str,
+    dataroot: str,
+    eval_batch_size: int,
+    spec: Optional[TransformSpec] = None,
+    direction: str = "AtoB",
+    phase: str = "val",
+) -> DataLoader:
+    """Validation loader: serial, no flip; unaligned switches to single mode
+    on val{A,B} (reference data/__init__.py:50-65)."""
+    spec = copy.deepcopy(spec) or TransformSpec()
+    spec.no_flip = True
+    if dataset_mode == "unaligned":
+        sub = phase + ("A" if direction == "AtoB" else "B")
+        ds = SingleDataset(dataroot, sub, spec)
+    elif dataset_mode == "aligned":
+        ds = AlignedDataset(dataroot, phase, spec, direction, seed=0)
+    elif dataset_mode == "single":
+        ds = SingleDataset(dataroot, phase, spec)
+    else:
+        raise NotImplementedError(dataset_mode)
+    return DataLoader(ds, eval_batch_size, shuffle=False, drop_last=False)

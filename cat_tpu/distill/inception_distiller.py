@@ -91,10 +91,36 @@ class InceptionDistiller:
         self.netA = Adaptor(features=teacher_cfg.bottleneck)
         self.tx = adam_tx(hp.beta1)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._gen_student = jax.jit(
+            lambda params, stats, x: apply_net(
+                self.netG_student, params, stats, x, train=False
+            )[0]
+        )
+        self._gen_teacher = jax.jit(
+            lambda params, stats, x: apply_net(
+                self.netG_teacher, params, stats, x, train=False
+            )[0]
+        )
 
     # ------------------------------------------------------------------ state
 
     def init_state(
+        self,
+        rng: jax.Array,
+        height: int,
+        width: int,
+        teacher_variables: Dict,
+        student_variables: Optional[Dict] = None,
+    ) -> Tuple[GANTrainState, Dict]:
+        """CPU-backend init + single placement (see common.init_on_cpu)."""
+        from cat_tpu.train.common import init_on_cpu, to_device
+
+        state, tv = init_on_cpu(
+            self._init_state, rng, height, width, teacher_variables, student_variables
+        )
+        return to_device(state), to_device(tv)
+
+    def _init_state(
         self,
         rng: jax.Array,
         height: int,
@@ -276,17 +302,11 @@ class InceptionDistiller:
     # -------------------------------------------------------------- inference
 
     def generate_student(self, state: GANTrainState, x: jnp.ndarray) -> jnp.ndarray:
-        out, _ = apply_net(
-            self.netG_student, state.g.params["G"], state.g.stats, x, train=False
-        )
-        return out
+        return self._gen_student(state.g.params["G"], state.g.stats, x)
 
     def generate_teacher(self, teacher_variables: Dict, x: jnp.ndarray) -> jnp.ndarray:
-        out, _ = apply_net(
-            self.netG_teacher,
+        return self._gen_teacher(
             teacher_variables["params"],
             teacher_variables.get("batch_stats", {}),
             x,
-            train=False,
         )
-        return out

@@ -16,6 +16,30 @@ import jax
 import jax.numpy as jnp
 
 
+def init_on_cpu(fn, *args, **kwargs):
+    """Run an initialiser on the host CPU backend.
+
+    On TPU, eager op dispatch pays a per-op compile; flax ``init`` issues
+    hundreds of tiny eager ops.  Initialising on the (always-present) CPU
+    backend and transferring once keeps accelerator compiles to exactly one
+    per train step.  Use ``to_device`` on the result before jitted use.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    def move(x):
+        return jax.device_put(x, cpu) if isinstance(x, jax.Array) else x
+
+    args = jax.tree.map(move, args)
+    kwargs = jax.tree.map(move, kwargs)
+    with jax.default_device(cpu):
+        return fn(*args, **kwargs)
+
+
+def to_device(tree: Any, device=None) -> Any:
+    device = device or jax.devices()[0]
+    return jax.tree.map(lambda x: jax.device_put(x, device), tree)
+
+
 @flax.struct.dataclass
 class NetState:
     """Parameters + Adam moments + (optional) batch stats for one net group."""

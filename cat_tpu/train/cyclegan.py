@@ -66,8 +66,16 @@ class CycleGANTask:
         self.netD = NLayerDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._generate = jax.jit(
+            lambda params, stats, x: apply_net(self.netG, params, stats, x, train=False)[0]
+        )
 
     def init_state(self, rng: jax.Array, height: int, width: int) -> GANTrainState:
+        from cat_tpu.train.common import init_on_cpu, to_device
+
+        return to_device(init_on_cpu(self._init_state, rng, height, width))
+
+    def _init_state(self, rng: jax.Array, height: int, width: int) -> GANTrainState:
         keys = jax.random.split(rng, 6)
         xa = jnp.zeros((1, height, width, self.gen_cfg.input_nc))
         g_params = {}
@@ -187,7 +195,4 @@ class CycleGANTask:
 
     def generate(self, state: GANTrainState, x: jnp.ndarray, direction: str = "AtoB"):
         name = "A" if direction == "AtoB" else "B"
-        out, _ = apply_net(
-            self.netG, state.g.params[name], state.g.stats[name], x, train=False
-        )
-        return out
+        return self._generate(state.g.params[name], state.g.stats[name], x)

@@ -1,0 +1,129 @@
+"""Evaluators: FID (and mIoU) sweeps with best-checkpoint tracking.
+
+Reference: pix2pix_model.evaluate_model:209-281, cycle_gan_model:310-365,
+inception_distiller:204-281 — sweep the eval loader, dump sample images,
+compute FID vs cached real statistics, track best / rolling mean-of-3.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cat_tpu.metrics.fid import get_fid
+from cat_tpu.utils.image import save_image, tensor2im
+
+
+class MetricTracker:
+    """best + rolling last-3 mean (reference keeps self.fids/self.mIoUs)."""
+
+    def __init__(self, larger_is_better: bool = False):
+        self.best = -1e9 if larger_is_better else 1e9
+        self.larger = larger_is_better
+        self.history = []
+
+    def update(self, value: float) -> bool:
+        self.history.append(value)
+        if len(self.history) > 3:
+            self.history.pop(0)
+        improved = value > self.best if self.larger else value < self.best
+        if improved:
+            self.best = value
+        return improved
+
+    @property
+    def mean(self) -> float:
+        return sum(self.history) / len(self.history)
+
+
+class FIDEvaluator:
+    """Generator sweep + FID vs cached stats; optionally dumps images.
+
+    ``generate`` maps a [-1,1] NHWC input batch to generated images.
+    """
+
+    def __init__(
+        self,
+        generate: Callable[[np.ndarray], np.ndarray],
+        eval_loader,
+        inception_model,
+        inception_variables,
+        real_stats: Dict[str, np.ndarray],
+        log_dir: Optional[str] = None,
+        eval_batch_size: int = 32,
+        name: str = "fid",
+        dump_images: int = 10,
+        teacher_generate: Optional[Callable] = None,
+    ):
+        self.generate = generate
+        self.eval_loader = eval_loader
+        self.inception_model = inception_model
+        self.inception_variables = inception_variables
+        self.real_stats = real_stats
+        self.log_dir = log_dir
+        self.eval_batch_size = eval_batch_size
+        self.name = name
+        self.dump_images = dump_images
+        self.teacher_generate = teacher_generate
+        self.tracker = MetricTracker(larger_is_better=False)
+
+    def __call__(self, step: int) -> Tuple[Dict[str, float], Dict[str, bool]]:
+        fakes = []
+        dumped = 0
+        save_dir = (
+            os.path.join(self.log_dir, "eval", str(step)) if self.log_dir else None
+        )
+        for batch in self.eval_loader:
+            fake = np.asarray(self.generate(batch["A"]))
+            fakes.append(fake)
+            if save_dir and dumped < self.dump_images:
+                tfake = (
+                    np.asarray(self.teacher_generate(batch["A"]))
+                    if self.teacher_generate
+                    else None
+                )
+                paths = batch.get("A_paths", [str(i) for i in range(len(fake))])
+                for j in range(len(fake)):
+                    if dumped >= self.dump_images:
+                        break
+                    base = os.path.splitext(os.path.basename(paths[j]))[0]
+                    save_image(tensor2im(batch["A"][j]), os.path.join(save_dir, "input", f"{base}.png"))
+                    save_image(tensor2im(fake[j]), os.path.join(save_dir, "Sfake" if tfake is not None else "fake", f"{base}.png"))
+                    if tfake is not None:
+                        save_image(tensor2im(tfake[j]), os.path.join(save_dir, "Tfake", f"{base}.png"))
+                    dumped += 1
+        fakes = np.concatenate(fakes, axis=0)
+        fid = get_fid(
+            fakes,
+            self.inception_model,
+            self.inception_variables,
+            self.real_stats,
+            batch_size=self.eval_batch_size,
+        )
+        improved = self.tracker.update(fid)
+        metrics = {
+            f"metric/{self.name}": fid,
+            f"metric/{self.name}-mean": self.tracker.mean,
+            f"metric/{self.name}-best": self.tracker.best,
+        }
+        return metrics, {"is_best": improved}
+
+
+def combine_evaluators(**named) -> Callable:
+    """Merge evaluators (e.g. CycleGAN's two directions -> is_best_A/B)."""
+
+    def evaluate(state, step):
+        metrics: Dict[str, float] = {}
+        flags: Dict[str, bool] = {}
+        for suffix, ev in named.items():
+            m, f = ev(step)
+            metrics.update(m)
+            if f.get("is_best"):
+                flags[f"is_best_{suffix}" if suffix else "is_best"] = True
+        return metrics, flags
+
+    return evaluate

@@ -59,10 +59,20 @@ class Pix2PixTask:
         self.netD = NLayerDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
+        self._generate = jax.jit(
+            lambda params, stats, x: apply_net(self.netG, params, stats, x, train=False)[0]
+        )
 
     # -- state ---------------------------------------------------------------
 
     def init_state(self, rng: jax.Array, height: int, width: int) -> GANTrainState:
+        """Initialise on the CPU backend (one accelerator compile per step,
+        none per init), then place on the default device."""
+        from cat_tpu.train.common import init_on_cpu, to_device
+
+        return to_device(init_on_cpu(self._init_state, rng, height, width))
+
+    def _init_state(self, rng: jax.Array, height: int, width: int) -> GANTrainState:
         rg, rd, rs = jax.random.split(rng, 3)
         xa = jnp.zeros((1, height, width, self.gen_cfg.input_nc))
         xab = jnp.zeros(
@@ -161,5 +171,4 @@ class Pix2PixTask:
     # -- inference -------------------------------------------------------------
 
     def generate(self, state: GANTrainState, x: jnp.ndarray) -> jnp.ndarray:
-        out, _ = apply_net(self.netG, state.g.params, state.g.stats, x, train=False)
-        return out
+        return self._generate(state.g.params, state.g.stats, x)

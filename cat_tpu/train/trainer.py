@@ -1,0 +1,133 @@
+"""The training driver: epoch loop, eval/checkpoint cadence, LR schedule.
+
+Reference semantics: trainer.py:98-175 — per-iteration optimise, print every
+``print_freq``, evaluate + save 'latest' every ``save_latest_freq`` iters
+(and at iter_base), per-epoch checkpoints every ``save_epoch_freq``,
+best-checkpoint tracking via evaluator flags, per-epoch LR update.
+
+The driver is task-agnostic: it consumes
+  * ``step_fn(state, device_batch, lr) -> (state, metrics)`` (jitted),
+  * ``evaluate_fn(state, step) -> (metrics, flags)`` where flags may contain
+    is_best / is_best_A / is_best_B,
+  * ``save_fn(state, tag)``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cat_tpu.train.optim import schedule_lr
+from cat_tpu.utils.logger import Logger
+
+
+@dataclass
+class TrainerConfig:
+    log_dir: str = "logs"
+    nepochs: int = 5
+    nepochs_decay: int = 15
+    epoch_base: int = 1
+    iter_base: int = 1
+    print_freq: int = 100
+    save_latest_freq: int = 20000
+    save_epoch_freq: int = 5
+    lr: float = 2e-4
+    lr_policy: str = "linear"
+    lr_decay_iters: int = 50
+    seed: int = 233
+
+
+def _device_batch(batch: Dict) -> Dict:
+    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+
+class Trainer:
+    def __init__(
+        self,
+        step_fn: Callable,
+        dataloader,
+        cfg: TrainerConfig,
+        evaluate_fn: Optional[Callable] = None,
+        save_fn: Optional[Callable] = None,
+        logger: Optional[Logger] = None,
+    ):
+        self.step_fn = step_fn
+        self.dataloader = dataloader
+        self.cfg = cfg
+        self.evaluate_fn = evaluate_fn
+        self.save_fn = save_fn
+        self.logger = logger or Logger(cfg.log_dir)
+
+    def _save(self, state, tag: str):
+        if self.save_fn is not None:
+            self.save_fn(state, tag)
+
+    def _evaluate(self, state, epoch: int, total_iter: int, message: str):
+        if self.evaluate_fn is None:
+            return {}
+        start = time.time()
+        metrics, flags = self.evaluate_fn(state, total_iter)
+        self.logger.print_current_metrics(epoch, total_iter, metrics, time.time() - start)
+        self.logger.plot(metrics, total_iter)
+        self.logger.print_info(message)
+        self._save(state, "latest")
+        if flags.get("is_best"):
+            self._save(state, f"iter{total_iter}")
+            self._save(state, "best")
+        if flags.get("is_best_A"):
+            self._save(state, f"iter{total_iter}")
+            self._save(state, "best_A")
+        if flags.get("is_best_B"):
+            self._save(state, f"iter{total_iter}")
+            self._save(state, "best_B")
+        return metrics
+
+    def fit(self, state) -> Any:
+        cfg = self.cfg
+        start_epoch = cfg.epoch_base
+        end_epoch = cfg.epoch_base + cfg.nepochs + cfg.nepochs_decay - 1
+        total_iter = cfg.iter_base
+        for epoch in range(start_epoch, end_epoch + 1):
+            epoch_start = time.time()
+            lr = schedule_lr(
+                cfg.lr_policy,
+                epoch - 1,
+                cfg.lr,
+                nepochs=cfg.nepochs,
+                nepochs_decay=cfg.nepochs_decay,
+                lr_decay_iters=cfg.lr_decay_iters,
+            )
+            for batch in self.dataloader:
+                iter_start = time.time()
+                state, metrics = self.step_fn(state, _device_batch(batch), lr)
+                if total_iter % cfg.print_freq == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    self.logger.print_current_errors(
+                        epoch, total_iter, host, time.time() - iter_start
+                    )
+                    self.logger.plot(host, total_iter)
+                if total_iter % cfg.save_latest_freq == 0 or total_iter == cfg.iter_base:
+                    state = self._eval_and_continue(state, epoch, total_iter)
+                total_iter += 1
+            self.logger.print_info(
+                "End of epoch %d / %d \t Time Taken: %.2f sec"
+                % (epoch, end_epoch, time.time() - epoch_start)
+            )
+            if epoch % cfg.save_epoch_freq == 0 or epoch == end_epoch:
+                self._evaluate(
+                    state, epoch, total_iter,
+                    f"Saving the model at the end of epoch {epoch}, iters {total_iter}",
+                )
+                self._save(state, str(epoch))
+        return state
+
+    def _eval_and_continue(self, state, epoch, total_iter):
+        self._evaluate(
+            state, epoch, total_iter,
+            f"Saving the latest model (epoch {epoch}, total_steps {total_iter})",
+        )
+        return state

@@ -1,0 +1,82 @@
+"""Checkpointing: parameters + explicit architecture config.
+
+The reference stores per-net .pth state_dicts and recovers pruned student
+*architectures from tensor shapes* (utils/common.py:49-180).  Here every
+checkpoint is a msgpack blob of the pytree plus a JSON sidecar holding the
+architecture config — the config is the source of truth, no shape
+archaeology.  Naming follows the reference convention
+({epoch|latest|best|iterN}_net_{G,D,...} — models/base_model.py:200-213).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from cat_tpu.core.config import config_from_json, config_to_json
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_tree = jax.tree.map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_tree))
+
+
+def load_pytree(path: str, like: Optional[Any] = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if like is not None:
+        return serialization.from_bytes(like, data)
+    return serialization.msgpack_restore(data)
+
+
+def save_net(save_dir: str, tag: str, net_name: str, variables: Any,
+             config: Any = None) -> str:
+    """Save one network: <save_dir>/<tag>_net_<name>.msgpack (+ .json config)."""
+    path = os.path.join(save_dir, f"{tag}_net_{net_name}.msgpack")
+    save_pytree(path, variables)
+    if config is not None:
+        with open(path.replace(".msgpack", ".json"), "w") as f:
+            f.write(config_to_json(config))
+    return path
+
+
+def load_net(save_dir: str, tag: str, net_name: str,
+             like: Optional[Any] = None) -> Tuple[Any, Optional[Any]]:
+    """(variables, config-or-None)."""
+    path = os.path.join(save_dir, f"{tag}_net_{net_name}.msgpack")
+    variables = load_pytree(path, like)
+    cfg_path = path.replace(".msgpack", ".json")
+    cfg = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = config_from_json(f.read())
+    return variables, cfg
+
+
+def save_train_state(save_dir: str, tag: str, state: Any) -> str:
+    """Full train state (params + optimizer moments + stats + rng + pools)."""
+    path = os.path.join(save_dir, f"{tag}_state.msgpack")
+    save_pytree(path, state)
+    return path
+
+
+def load_train_state(save_dir: str, tag: str, like: Any) -> Any:
+    return load_pytree(os.path.join(save_dir, f"{tag}_state.msgpack"), like)
+
+
+def save_meta(save_dir: str, tag: str, meta: Dict) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"{tag}_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_meta(save_dir: str, tag: str) -> Dict:
+    with open(os.path.join(save_dir, f"{tag}_meta.json")) as f:
+        return json.load(f)
