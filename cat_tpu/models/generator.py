@@ -101,12 +101,15 @@ class InceptionGenerator(nn.Module):
                 acts[name] = h
 
         # --- upsampling trunk ----------------------------------------------
+        from cat_tpu.ops.nn import ConvTranspose2d
+
         for j, ch in enumerate(cfg.us_channels):
-            h = nn.ConvTranspose(
+            h = ConvTranspose2d(
                 features=ch,
-                kernel_size=(3, 3),
-                strides=(2, 2),
-                padding="SAME",
+                kernel=3,
+                stride=2,
+                padding=1,
+                output_padding=1,
                 use_bias=use_bias,
                 kernel_init=conv_kernel_init(self.init_type, self.init_gain),
                 name=f"up{j}_conv",

@@ -91,6 +91,55 @@ def norm_scale_init(norm: NormConfig, init_gain: float = 0.02):
 
 
 # ---------------------------------------------------------------------------
+# Transposed convolution (torch geometry)
+# ---------------------------------------------------------------------------
+
+
+class ConvTranspose2d(nn.Module):
+    """Stride-s transposed conv with torch's output geometry
+    (kernel k, padding p, output_padding op => out = in*s for k=3,p=1,op=1,s=2).
+
+    Implemented as an input-dilated conv:
+      conv_general_dilated(x, kernel, padding=((k-1-p, k-1-p+op),)*2,
+                           lhs_dilation=(s, s))
+    Kernel layout is HWIO (kh, kw, in, out).  A torch ConvTranspose2d weight
+    (in, out, kh, kw) maps to this kernel as flip(w, spatial).transpose(2,3,0,1)
+    — verified numerically against torch (see cat_tpu/utils/torch_import.py).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, p, op = self.kernel, self.padding, self.output_padding
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=(pad, pad),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
 # Normalisation
 # ---------------------------------------------------------------------------
 
