@@ -1,0 +1,292 @@
+"""Command-line interface: the reference's flag surface mapped onto the
+TPU-native framework.
+
+Reference: options/base_options.py, train_options.py, distill_options.py and
+the per-model ``modify_commandline_options`` defaults (e.g.
+models/cycle_gan_model.py:102-109, distillers/inception_distiller.py:71-76).
+
+Entry points (repo root): train.py, distill.py, profile.py, export.py,
+get_real_stat.py — same verbs as the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import random
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from cat_tpu.core.config import (
+    InceptionGeneratorConfig,
+    NLayerDiscriminatorConfig,
+    NormConfig,
+    PixelDiscriminatorConfig,
+    config_to_json,
+)
+from cat_tpu.data.datasets import create_dataloader, create_eval_dataloader
+from cat_tpu.data.transforms import TransformSpec
+from cat_tpu.train.trainer import Trainer, TrainerConfig
+from cat_tpu.utils.logger import Logger
+
+
+# ---------------------------------------------------------------------------
+# argument groups
+# ---------------------------------------------------------------------------
+
+
+def base_arguments(parser: argparse.ArgumentParser):
+    p = parser
+    p.add_argument("--dataroot", required=True,
+                   help="path to images (trainA/trainB/valA/valB or train/val)")
+    p.add_argument("--seed", type=int, default=233)
+    p.add_argument("--input_nc", type=int, default=3)
+    p.add_argument("--output_nc", type=int, default=3)
+    p.add_argument("--norm", type=str, default="instance",
+                   choices=["instance", "batch", "syncbatch", "none"])
+    p.add_argument("--init_type", type=str, default="normal",
+                   choices=["normal", "xavier", "kaiming", "orthogonal"])
+    p.add_argument("--init_gain", type=float, default=0.02)
+    p.add_argument("--dataset_mode", type=str, default="aligned",
+                   choices=["aligned", "unaligned", "single", "cityscapes"])
+    p.add_argument("--direction", type=str, default="AtoB")
+    p.add_argument("--serial_batches", action="store_true")
+    p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--load_size", type=int, default=286)
+    p.add_argument("--crop_size", type=int, default=256)
+    p.add_argument("--aspect_ratio", type=float, default=1.0)
+    p.add_argument("--max_dataset_size", type=int, default=-1)
+    p.add_argument("--preprocess", type=str, default="resize_and_crop")
+    p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--phase", type=str, default="train")
+    p.add_argument("--drn_path", type=str, default="drn-d-105_ms_cityscapes.pth")
+    p.add_argument("--cityscapes_path", type=str, default="database/cityscapes-origin")
+    p.add_argument("--table_path", type=str, default="datasets/table.txt")
+    p.add_argument("--inception_path", type=str,
+                   default="pt_inception-2015-12-05.pth",
+                   help="FID InceptionV3 torch checkpoint (judge weights)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="data-parallel devices (0 = all available)")
+    return p
+
+
+def train_arguments(parser: argparse.ArgumentParser):
+    p = parser
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--tensorboard_dir", type=str, default=None)
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--save_latest_freq", type=int, default=20000)
+    p.add_argument("--save_epoch_freq", type=int, default=5)
+    p.add_argument("--epoch_base", type=int, default=1)
+    p.add_argument("--iter_base", type=int, default=1)
+    p.add_argument("--model", type=str, default="pix2pix",
+                   choices=["pix2pix", "cycle_gan"])
+    p.add_argument("--netD", type=str, default="n_layers",
+                   choices=["n_layers", "pixel", "multi_scale"])
+    p.add_argument("--netG", type=str, default="inception_9blocks")
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=128)
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--dropout_rate", type=float, default=0)
+    p.add_argument("--channels", nargs="*", type=int, default=None)
+    p.add_argument("--channels_reduction_factor", type=int, default=1)
+    p.add_argument("--kernel_sizes", nargs="+", type=int, default=[3, 5, 7])
+    p.add_argument("--norm_affine", action="store_true")
+    p.add_argument("--norm_affine_D", action="store_true")
+    p.add_argument("--norm_momentum", type=float, default=0.1)
+    p.add_argument("--norm_epsilon", type=float, default=1e-5)
+    p.add_argument("--norm_track_running_stats", action="store_true")
+    p.add_argument("--active_fn", type=str, default="nn.ReLU")
+    p.add_argument("--active_fn_D", type=str, default="nn.LeakyReLU")
+    p.add_argument("--moving_average_decay", type=float, default=0.0)
+    p.add_argument("--nepochs", type=int, default=5)
+    p.add_argument("--nepochs_decay", type=int, default=15)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--gan_mode", type=str, default="hinge",
+                   choices=["vanilla", "lsgan", "wgangp", "hinge"])
+    p.add_argument("--pool_size", type=int, default=50)
+    p.add_argument("--lr_policy", type=str, default="linear")
+    p.add_argument("--lr_decay_iters", type=int, default=50)
+    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--restore_G_path", type=str, default=None)
+    p.add_argument("--restore_D_path", type=str, default=None)
+    p.add_argument("--restore_state_path", type=str, default=None,
+                   help="resume the full train state (params+optimizers)")
+    # pix2pix
+    p.add_argument("--recon_loss_type", type=str, default="l1",
+                   choices=["l1", "l2", "smooth_l1"])
+    p.add_argument("--lambda_recon", type=float, default=100.0)
+    p.add_argument("--lambda_gan", type=float, default=1.0)
+    p.add_argument("--real_stat_path", type=str, default=None)
+    # cyclegan
+    p.add_argument("--lambda_A", type=float, default=10.0)
+    p.add_argument("--lambda_B", type=float, default=10.0)
+    p.add_argument("--lambda_identity", type=float, default=0.5)
+    p.add_argument("--real_stat_A_path", type=str, default=None)
+    p.add_argument("--real_stat_B_path", type=str, default=None)
+    return p
+
+
+def distill_arguments(parser: argparse.ArgumentParser):
+    p = train_arguments(parser)
+    p.add_argument("--distiller", type=str, default="inception",
+                   choices=["inception", "spade"])
+    p.add_argument("--teacher_netG", type=str, default="inception_9blocks")
+    p.add_argument("--student_netG", type=str, default="inception_9blocks")
+    p.add_argument("--teacher_ngf", type=int, default=64)
+    p.add_argument("--student_ngf", type=int, default=48)
+    p.add_argument("--pretrained_netG", type=str, default="inception_9blocks")
+    p.add_argument("--pretrained_ngf", type=int, default=64)
+    p.add_argument("--restore_teacher_G_path", type=str, required=True)
+    p.add_argument("--restore_pretrained_G_path", type=str, default=None)
+    p.add_argument("--restore_student_G_path", type=str, default=None)
+    p.add_argument("--restore_A_path", type=str, default=None)
+    p.add_argument("--restore_O_path", type=str, default=None)
+    p.add_argument("--distill_G_loss_type", type=str, default="mse",
+                   choices=["mse", "ka"])
+    p.add_argument("--lambda_distill", type=float, default=1.0)
+    p.add_argument("--target_flops", type=float, default=0.0)
+    p.add_argument("--prune_cin_lb", type=int, default=0)
+    p.add_argument("--prune_ft_cin_lb", type=int, default=0)
+    p.add_argument("--prune_cin_ub", type=int, default=0)
+    p.add_argument("--pretrained_student_G_path", type=str, default=None)
+    p.add_argument("--prune_only", action="store_true")
+    p.add_argument("--prune_continue", action="store_true")
+    p.add_argument("--prune_logging_verbose", action="store_true")
+    p.add_argument("--prune_init", type=str, default="reinit",
+                   choices=["reinit", "sliced"],
+                   help="student weights after shrink: fresh re-init "
+                        "(reference semantics, trainer.py:107-109) or the "
+                        "threshold-sliced teacher weights")
+    p.set_defaults(norm="instance", dataset_mode="aligned", log_dir="logs/distill",
+                   lambda_recon=100.0)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# config construction
+# ---------------------------------------------------------------------------
+
+
+def norm_config(opt, affine: bool) -> NormConfig:
+    return NormConfig(
+        kind=opt.norm,
+        affine=affine,
+        track_running_stats=opt.norm_track_running_stats,
+        momentum=opt.norm_momentum,
+        eps=opt.norm_epsilon,
+    )
+
+
+def generator_config(opt, ngf: int) -> InceptionGeneratorConfig:
+    return InceptionGeneratorConfig.make(
+        input_nc=opt.input_nc,
+        output_nc=opt.output_nc,
+        ngf=ngf,
+        channels=tuple(opt.channels) if opt.channels else None,
+        channels_reduction_factor=opt.channels_reduction_factor,
+        kernel_sizes=tuple(opt.kernel_sizes),
+        n_blocks=9,
+        norm=norm_config(opt, opt.norm_affine),
+        active_fn=opt.active_fn,
+        dropout_rate=opt.dropout_rate,
+    )
+
+
+def discriminator_config(opt, input_nc: int):
+    norm = norm_config(opt, opt.norm_affine_D)
+    if opt.netD == "n_layers":
+        return NLayerDiscriminatorConfig(
+            input_nc=input_nc, ndf=opt.ndf, n_layers=opt.n_layers_D,
+            norm=norm, active_fn=opt.active_fn_D,
+        )
+    if opt.netD == "pixel":
+        return PixelDiscriminatorConfig(
+            input_nc=input_nc, ndf=opt.ndf, norm=norm, active_fn=opt.active_fn_D
+        )
+    raise NotImplementedError(f"netD [{opt.netD}] for this task")
+
+
+def transform_spec(opt) -> TransformSpec:
+    return TransformSpec(
+        preprocess=opt.preprocess,
+        load_size=opt.load_size,
+        crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio,
+        no_flip=opt.no_flip,
+        grayscale=(opt.input_nc == 1),
+    )
+
+
+def print_options(opt, parser: argparse.ArgumentParser):
+    """Dump the full config to the log dir (reference base_options.py:184-205)."""
+    lines = ["----------------- Options ---------------"]
+    for k, v in sorted(vars(opt).items()):
+        default = parser.get_default(k)
+        comment = f"\t[default: {default}]" if v != default else ""
+        lines.append(f"{str(k):>25}: {str(v):<30}{comment}")
+    lines.append("----------------- End -------------------")
+    message = "\n".join(lines)
+    print(message)
+    log_dir = getattr(opt, "log_dir", None)
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "opt.txt"), "a") as f:
+            f.write(message + "\n")
+        with open(os.path.join(log_dir, "opt.pkl"), "wb") as f:
+            pickle.dump(vars(opt), f)
+
+
+def set_seed(seed: int):
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def load_generator_checkpoint(path: str, norm: NormConfig):
+    """Load either a reference .pth or a native .msgpack generator."""
+    if path.endswith(".pth"):
+        from cat_tpu.utils.torch_import import load_torch_generator
+
+        return load_torch_generator(path, norm=norm)
+    from cat_tpu.core.config import config_from_json
+    from cat_tpu.utils.checkpoint import load_pytree
+
+    variables = load_pytree(path)
+    cfg_path = path.replace(".msgpack", ".json")
+    with open(cfg_path) as f:
+        cfg = config_from_json(f.read())
+    return cfg, variables
+
+
+def make_fid_judge(opt):
+    """(model, variables) for the InceptionV3 judge, or None if weights are
+    unavailable (training still runs; FID eval is skipped with a warning)."""
+    if opt.inception_path and os.path.exists(opt.inception_path):
+        from cat_tpu.metrics.inception import load_inception
+
+        return load_inception(opt.inception_path)
+    print(f"WARNING: inception weights not found at {opt.inception_path!r}; "
+          "FID evaluation disabled.")
+    return None
+
+
+def trainer_config(opt) -> TrainerConfig:
+    return TrainerConfig(
+        log_dir=opt.log_dir,
+        nepochs=opt.nepochs,
+        nepochs_decay=opt.nepochs_decay,
+        epoch_base=opt.epoch_base,
+        iter_base=opt.iter_base,
+        print_freq=opt.print_freq,
+        save_latest_freq=opt.save_latest_freq,
+        save_epoch_freq=opt.save_epoch_freq,
+        lr=opt.lr,
+        lr_policy=opt.lr_policy,
+        lr_decay_iters=opt.lr_decay_iters,
+        seed=opt.seed,
+    )
