@@ -84,7 +84,7 @@ def train_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--epoch_base", type=int, default=1)
     p.add_argument("--iter_base", type=int, default=1)
     p.add_argument("--model", type=str, default="pix2pix",
-                   choices=["pix2pix", "cycle_gan"])
+                   choices=["pix2pix", "cycle_gan", "spade"])
     p.add_argument("--netD", type=str, default="n_layers",
                    choices=["n_layers", "pixel", "multi_scale"])
     p.add_argument("--netG", type=str, default="inception_9blocks")
@@ -93,6 +93,8 @@ def train_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--n_layers_D", type=int, default=3)
     p.add_argument("--dropout_rate", type=float, default=0)
     p.add_argument("--channels", nargs="*", type=int, default=None)
+    p.add_argument("--n_blocks", type=int, default=9,
+                   help="inception blocks in the generator (reference fixes 9)")
     p.add_argument("--channels_reduction_factor", type=int, default=1)
     p.add_argument("--kernel_sizes", nargs="+", type=int, default=[3, 5, 7])
     p.add_argument("--norm_affine", action="store_true")
@@ -132,8 +134,83 @@ def train_arguments(parser: argparse.ArgumentParser):
     return p
 
 
+def spade_arguments(parser: argparse.ArgumentParser):
+    """GauGAN/SPADE flags (reference spade_model.py:23-94 defaults +
+    data/cityscapes_dataset.py:21-47)."""
+    p = parser
+    p.add_argument("--norm_G", type=str, default="spadesyncbatch3x3")
+    p.add_argument("--teacher_norm_G", type=str, default="spadesyncbatch3x3")
+    p.add_argument("--student_norm_G", type=str, default="spadesyncbatch3x3")
+    p.add_argument("--num_upsampling_layers", type=str, default="more",
+                   choices=["normal", "more", "most"])
+    p.add_argument("--lambda_feat", type=float, default=10.0)
+    p.add_argument("--lambda_vgg", type=float, default=10.0)
+    p.add_argument("--no_TTUR", action="store_true")
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--num_D", type=int, default=2)
+    p.add_argument("--norm_D", type=str, default="spectralinstance")
+    p.add_argument("--no_instance", action="store_true")
+    p.add_argument("--contain_dontcare_label", action="store_true")
+    p.add_argument("--no_pairing_check", action="store_true")
+    p.add_argument("--vgg_path", type=str, default="vgg19.pth",
+                   help="torchvision VGG19 weights for the perceptual loss")
+    p.add_argument("--no_fid", action="store_true")
+    return p
+
+
+def semantic_nc(opt) -> int:
+    """input_nc + dontcare + instance edge (reference base_options.py:211-215)."""
+    return (
+        opt.input_nc
+        + (1 if opt.contain_dontcare_label else 0)
+        + (0 if opt.no_instance else 1)
+    )
+
+
+def parse_param_free_norm(norm_g: str) -> str:
+    """'spade(syncbatch)3x3' (optionally 'spectral'-prefixed) -> norm kind."""
+    import re as _re
+
+    s = norm_g.replace("spectral", "")
+    m = _re.search(r"spade(\D+)(\d)x\d", s)
+    if not m:
+        raise ValueError(f"unrecognised norm_G {norm_g!r}")
+    return m.group(1)
+
+
+def spade_generator_config(opt, ngf: int, norm_g: str):
+    from cat_tpu.core.spade_config import SPADEGeneratorConfig
+
+    return SPADEGeneratorConfig.make(
+        semantic_nc=semantic_nc(opt),
+        ngf=ngf,
+        channels=tuple(opt.channels) if opt.channels else None,
+        channels_reduction_factor=opt.channels_reduction_factor,
+        kernel_sizes=tuple(opt.kernel_sizes),
+        num_upsampling_layers=opt.num_upsampling_layers,
+        crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio,
+        param_free_norm=parse_param_free_norm(norm_g),
+        spectral="spectral" in norm_g,
+        active_fn="leaky_relu",
+    )
+
+
+def make_vgg(opt):
+    if opt.lambda_vgg > 0 and opt.vgg_path and os.path.exists(opt.vgg_path):
+        from cat_tpu.models.vgg import load_vgg19
+
+        _, variables = load_vgg19(opt.vgg_path)
+        return variables
+    if opt.lambda_vgg > 0:
+        print(f"WARNING: VGG19 weights not found at {getattr(opt, 'vgg_path', None)!r};"
+              " perceptual loss disabled.")
+    return None
+
+
 def distill_arguments(parser: argparse.ArgumentParser):
     p = train_arguments(parser)
+    spade_arguments(p)
     p.add_argument("--distiller", type=str, default="inception",
                    choices=["inception", "spade"])
     p.add_argument("--teacher_netG", type=str, default="inception_9blocks")
@@ -191,7 +268,7 @@ def generator_config(opt, ngf: int) -> InceptionGeneratorConfig:
         channels=tuple(opt.channels) if opt.channels else None,
         channels_reduction_factor=opt.channels_reduction_factor,
         kernel_sizes=tuple(opt.kernel_sizes),
-        n_blocks=9,
+        n_blocks=opt.n_blocks,
         norm=norm_config(opt, opt.norm_affine),
         active_fn=opt.active_fn,
         dropout_rate=opt.dropout_rate,

@@ -1,0 +1,677 @@
+"""End-to-end task assembly for the CLI verbs (train / distill / profile /
+export / get_real_stat).
+
+Mirrors the reference driver layer (trainer.py, profiler.py,
+onnx_exporter.py): build loaders + task + evaluator from parsed options, run
+the distill preamble (shrink -> re-init -> optional restores), and hand a
+uniform (step_fn, state, evaluate_fn, save_fn) bundle to the Trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from cat_tpu import cli
+from cat_tpu.compress.profiling import profile_generator
+from cat_tpu.compress.shrink import PruneBounds, shrink_generator
+from cat_tpu.core.config import config_to_json
+from cat_tpu.data.datasets import create_dataloader, create_eval_dataloader
+from cat_tpu.train.evaluation import FIDEvaluator, combine_evaluators
+from cat_tpu.train.trainer import Trainer
+from cat_tpu.utils import checkpoint as ckpt
+from cat_tpu.utils.logger import Logger
+
+
+def _mesh_or_none(opt):
+    n = opt.n_devices if opt.n_devices > 0 else len(jax.devices())
+    if n <= 1:
+        return None
+    from cat_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
+def _place(state, aux, batch_fn, mesh):
+    """Replicate state (and aux pytrees) / shard batches when a mesh exists."""
+    if mesh is None:
+        return state, aux, batch_fn
+    from cat_tpu.parallel.mesh import replicate, shard_batch
+
+    state = replicate(state, mesh)
+    aux = replicate(aux, mesh) if aux is not None else None
+
+    def sharded_batch(b):
+        return shard_batch(batch_fn(b), mesh)
+
+    return state, aux, sharded_batch
+
+
+def _identity_batch(b):
+    return b
+
+
+def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
+    if path and os.path.exists(path):
+        npz = np.load(path)
+        return {"mu": npz["mu"], "sigma": npz["sigma"]}
+    if path:
+        print(f"WARNING: real stats not found at {path!r}; FID disabled.")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# train verb
+# ---------------------------------------------------------------------------
+
+
+def setup_train(opt) -> Tuple[Trainer, Any]:
+    cli.set_seed(opt.seed)
+    spec = cli.transform_spec(opt)
+    loader = create_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
+        phase=opt.phase, direction=opt.direction,
+        serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
+        seed=opt.seed,
+    )
+    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    gen_cfg = cli.generator_config(opt, opt.ngf)
+    judge = cli.make_fid_judge(opt)
+    mesh = _mesh_or_none(opt)
+    save_dir = os.path.join(opt.log_dir, "checkpoints")
+
+    if opt.model == "pix2pix":
+        from cat_tpu.train.pix2pix import Pix2PixHParams, Pix2PixTask
+
+        hp = Pix2PixHParams(
+            gan_mode=opt.gan_mode, recon_loss_type=opt.recon_loss_type,
+            lambda_gan=opt.lambda_gan, lambda_recon=opt.lambda_recon,
+            beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
+        )
+        d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
+        task = Pix2PixTask(gen_cfg, d_cfg, hp)
+        state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+
+        eval_loader = create_eval_dataloader(
+            opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
+        )
+        stats = _real_stats(opt.real_stat_path)
+        evaluate_fn = None
+        if judge and stats:
+            fid_ev = FIDEvaluator(
+                lambda x: task.generate(task_state_box[0], x), eval_loader,
+                judge[0], judge[1], stats, opt.log_dir, opt.eval_batch_size,
+            )
+            evaluate_fn = combine_evaluators(**{"": fid_ev})
+
+        def save_fn(state, tag):
+            ckpt.save_net(save_dir, tag, "G", {"params": state.g.params,
+                                               "batch_stats": state.g.stats}, gen_cfg)
+            ckpt.save_train_state(save_dir, tag, state)
+
+        task_state_box = [state]
+
+        def step_fn(state, batch, lr):
+            state, metrics = task.train_step(state, batch, lr)
+            task_state_box[0] = state
+            return state, metrics
+
+        trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
+                          evaluate_fn, save_fn, logger)
+        return trainer, state
+
+    if opt.model == "cycle_gan":
+        from cat_tpu.train.cyclegan import CycleGANHParams, CycleGANTask
+
+        hp = CycleGANHParams(
+            gan_mode=opt.gan_mode, lambda_A=opt.lambda_A, lambda_B=opt.lambda_B,
+            lambda_identity=opt.lambda_identity, pool_size=opt.pool_size,
+            beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
+        )
+        d_cfg = cli.discriminator_config(opt, opt.output_nc)
+        task = CycleGANTask(gen_cfg, d_cfg, hp)
+        state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+        task_state_box = [state]
+
+        evaluators = {}
+        if judge:
+            for direction, stat_path in (("A", opt.real_stat_B_path),
+                                         ("B", opt.real_stat_A_path)):
+                stats = _real_stats(stat_path)
+                if not stats:
+                    continue
+                dname = "AtoB" if direction == "A" else "BtoA"
+                eval_loader = create_eval_dataloader(
+                    "unaligned", opt.dataroot, opt.eval_batch_size,
+                    cli.transform_spec(opt), dname,
+                )
+                evaluators[direction] = FIDEvaluator(
+                    functools.partial(
+                        lambda x, d: task.generate(task_state_box[0], x, d), d=dname
+                    ),
+                    eval_loader, judge[0], judge[1], stats, opt.log_dir,
+                    opt.eval_batch_size, name=f"fid_{'B' if direction == 'A' else 'A'}",
+                )
+        evaluate_fn = combine_evaluators(**evaluators) if evaluators else None
+
+        def save_fn(state, tag):
+            for name in ("A", "B"):
+                ckpt.save_net(save_dir, tag, f"G_{name}",
+                              {"params": state.g.params[name]}, gen_cfg)
+            ckpt.save_train_state(save_dir, tag, state)
+
+        def step_fn(state, batch, lr):
+            state, metrics = task.train_step(state, batch, lr)
+            task_state_box[0] = state
+            return state, metrics
+
+        trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
+                          evaluate_fn, save_fn, logger)
+        return trainer, state
+
+    if opt.model == "spade":
+        return setup_train_spade(opt)
+
+    raise NotImplementedError(f"model [{opt.model}]")
+
+
+def setup_train_spade(opt) -> Tuple[Trainer, Any]:
+    """GauGAN teacher training (reference models/spade_model.py)."""
+    from cat_tpu.core.spade_config import MultiscaleDiscriminatorConfig
+    from cat_tpu.data.cityscapes import create_cityscapes_dataloader
+    from cat_tpu.train.spade_model import SPADEHParams, SPADETask
+
+    cli.set_seed(opt.seed)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    save_dir = os.path.join(opt.log_dir, "checkpoints")
+    gen_cfg = cli.spade_generator_config(opt, opt.ngf, opt.norm_G)
+    d_cfg = MultiscaleDiscriminatorConfig(
+        input_nc=gen_cfg.semantic_nc + gen_cfg.output_nc,
+        ndf=opt.ndf, n_layers=opt.n_layers_D, num_D=opt.num_D, norm_D=opt.norm_D,
+    )
+    hp = SPADEHParams(
+        gan_mode=opt.gan_mode, lambda_gan=opt.lambda_gan,
+        lambda_feat=opt.lambda_feat, lambda_vgg=opt.lambda_vgg,
+        no_TTUR=opt.no_TTUR,
+        beta1=opt.beta1 if opt.no_TTUR else 0.0,
+        beta2=opt.beta2 if opt.no_TTUR else 0.9,
+        init_type=opt.init_type, init_gain=opt.init_gain,
+    )
+    task = SPADETask(gen_cfg, d_cfg, hp, vgg_variables=cli.make_vgg(opt),
+                     input_nc=opt.input_nc)
+    task.contain_dontcare = opt.contain_dontcare_label
+    h_lat = int(opt.crop_size / opt.aspect_ratio)
+    state = task.init_state(jax.random.PRNGKey(opt.seed), h_lat, opt.crop_size)
+    loader = create_cityscapes_dataloader(
+        opt.dataroot, opt.batch_size, phase=opt.phase,
+        load_size=opt.load_size, crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
+        pairing_check=not opt.no_pairing_check, max_size=opt.max_dataset_size,
+        seed=opt.seed,
+    )
+    task_state_box = [state]
+
+    def save_fn(state, tag):
+        ckpt.save_net(save_dir, tag, "G",
+                      {"params": state.g.params, **state.g.stats}, gen_cfg)
+        ckpt.save_train_state(save_dir, tag, state)
+
+    def step_fn(state, batch, lr):
+        state, metrics = task.train_step(state, batch, lr)
+        task_state_box[0] = state
+        return state, metrics
+
+    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), None, save_fn, logger)
+    return trainer, state
+
+
+# ---------------------------------------------------------------------------
+# distill verb
+# ---------------------------------------------------------------------------
+
+
+def shrink_preamble(opt, teacher_cfg, teacher_vars, logger) -> Tuple[Any, Optional[Dict], float]:
+    """FLOPs-targeted pruning of the teacher into the student architecture.
+
+    Returns (student_cfg, student_variables_or_None, pruning_seconds).
+    Reference: trainer.py:105-123 + utils/common.py:315-707 — the pruned
+    student is RE-initialised by default; --prune_init sliced keeps the
+    surviving teacher weights; --prune_continue restores a checkpoint.
+    """
+    bounds = PruneBounds(
+        cin_lb=max(opt.prune_cin_lb, 1),
+        cin_ub=opt.prune_cin_ub if opt.prune_cin_ub > 0 else None,
+        ft_cin_lb=max(opt.prune_ft_cin_lb, 1),
+    )
+    t0 = time.time()
+    res = shrink_generator(
+        teacher_cfg, teacher_vars, opt.target_flops,
+        opt.crop_size, opt.crop_size, bounds,
+    )
+    dt = time.time() - t0
+    logger.print_info(
+        f"scale threshold: {res.threshold:.6g}, searched flops: "
+        f"{res.searched_macs:,}, target flops: {opt.target_flops:g}, "
+        f"flops diff: {res.searched_macs - opt.target_flops:g} "
+        f"(pruning took {dt*1e3:.1f} ms)"
+    )
+    prof = profile_generator(res.config, opt.crop_size, opt.crop_size)
+    logger.print_info(
+        f"netG student FLOPs: {prof.macs:,}; down sampling: "
+        f"{prof.sections['down_sampling']:,}; features: "
+        f"{prof.sections['features']:,}; up sampling: {prof.sections['up_sampling']:,}."
+    )
+    student_vars = res.variables if opt.prune_init == "sliced" else None
+    return res.config, student_vars, dt
+
+
+def setup_distill(opt) -> Tuple[Optional[Trainer], Any]:
+    if getattr(opt, "distiller", "inception") == "spade":
+        return setup_distill_spade(opt)
+    return setup_distill_inception(opt)
+
+
+def load_spade_checkpoint(path: str):
+    """Load a native SPADE generator checkpoint (.msgpack + .json config)."""
+    from cat_tpu.core.config import config_from_json
+    from cat_tpu.utils.checkpoint import load_pytree
+
+    variables = load_pytree(path)
+    with open(path.replace(".msgpack", ".json")) as f:
+        cfg = config_from_json(f.read())
+    return cfg, variables
+
+
+def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
+    """GauGAN distillation (reference distillers/spade_distiller.py)."""
+    from cat_tpu.compress.spade import profile_spade_generator, shrink_spade_generator
+    from cat_tpu.data.cityscapes import create_cityscapes_dataloader
+    from cat_tpu.distill.spade_distiller import SPADEDistillHParams, SPADEDistiller
+
+    cli.set_seed(opt.seed)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    save_dir = os.path.join(opt.log_dir, "checkpoints")
+
+    teacher_cfg, teacher_vars = load_spade_checkpoint(opt.restore_teacher_G_path)
+    h_lat = int(opt.crop_size / opt.aspect_ratio)
+    t_prof = profile_spade_generator(teacher_cfg, h_lat, opt.crop_size)
+    logger.print_info(f"netG teacher FLOPs: {t_prof.macs:,}; params: {t_prof.params:,}")
+
+    if opt.target_flops > 0:
+        bounds = PruneBounds(
+            cin_lb=max(opt.prune_cin_lb, 1),
+            cin_ub=opt.prune_cin_ub if opt.prune_cin_ub > 0 else None,
+        )
+        t0 = time.time()
+        res = shrink_spade_generator(
+            teacher_cfg, teacher_vars, opt.target_flops, h_lat, opt.crop_size, bounds
+        )
+        logger.print_info(
+            f"scale threshold: {res.threshold:.6g}, searched flops: "
+            f"{res.searched_macs:,}, target flops: {opt.target_flops:g} "
+            f"(pruning took {(time.time()-t0)*1e3:.1f} ms)"
+        )
+        student_cfg = res.config  # weights always re-init (reference semantics)
+    else:
+        student_cfg = cli.spade_generator_config(opt, opt.student_ngf, opt.student_norm_G)
+
+    hp = SPADEDistillHParams(
+        gan_mode=opt.gan_mode,
+        distill_loss_type=opt.distill_G_loss_type,
+        lambda_gan=opt.lambda_gan,
+        lambda_distill=opt.lambda_distill,
+        lambda_feat=opt.lambda_feat,
+        lambda_vgg=opt.lambda_vgg,
+        no_TTUR=opt.no_TTUR,
+        beta1=opt.beta1 if opt.no_TTUR else 0.0,
+        beta2=opt.beta2 if opt.no_TTUR else 0.9,
+        init_type=opt.init_type,
+        init_gain=opt.init_gain,
+    )
+    dist = SPADEDistiller(teacher_cfg, student_cfg, hp=hp,
+                          vgg_variables=cli.make_vgg(opt))
+    dist.label_nc = opt.input_nc
+    dist.contain_dontcare = opt.contain_dontcare_label
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(opt.seed),
+        int(opt.crop_size / opt.aspect_ratio), opt.crop_size, teacher_vars,
+    )
+    with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
+        f.write(config_to_json(student_cfg))
+    if opt.prune_only:
+        logger.print_info("prune_only: student architecture emitted; exiting.")
+        return None, state
+
+    loader = create_cityscapes_dataloader(
+        opt.dataroot, opt.batch_size, phase=opt.phase,
+        load_size=opt.load_size, crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
+        pairing_check=not opt.no_pairing_check, max_size=opt.max_dataset_size,
+        load_in_memory=False, seed=opt.seed,
+    )
+
+    task_state_box = [state]
+
+    def save_fn(state, tag):
+        ckpt.save_net(save_dir, tag, "G",
+                      {"params": state.g.params["G"], **state.g.stats}, student_cfg)
+        ckpt.save_train_state(save_dir, tag, state)
+
+    def step_fn(state, batch, lr):
+        state, metrics = dist.train_step(state, teacher_vars, batch, lr)
+        task_state_box[0] = state
+        return state, metrics
+
+    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), None, save_fn, logger)
+    return trainer, state
+
+
+def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
+    from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
+
+    cli.set_seed(opt.seed)
+    spec = cli.transform_spec(opt)
+    loader = create_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
+        phase=opt.phase, direction=opt.direction,
+        serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
+        seed=opt.seed,
+    )
+    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    save_dir = os.path.join(opt.log_dir, "checkpoints")
+
+    teacher_norm = cli.norm_config(opt, opt.norm_affine)
+    teacher_cfg, teacher_vars = cli.load_generator_checkpoint(
+        opt.restore_teacher_G_path, teacher_norm
+    )
+    t_prof = profile_generator(teacher_cfg, opt.crop_size, opt.crop_size)
+    logger.print_info(f"netG teacher FLOPs: {t_prof.macs:,}; params: {t_prof.params:,}")
+
+    # shrink -> student architecture
+    if opt.target_flops > 0:
+        student_cfg, student_vars, _ = shrink_preamble(
+            opt, teacher_cfg, teacher_vars, logger
+        )
+    else:
+        student_cfg = cli.generator_config(opt, opt.student_ngf)
+        student_vars = None
+
+    # optional: magnitude weight transfer from a wide pretrained generator
+    # (reference inception_distiller.load_networks:190-202; note the shipped
+    # flow discards this when the student is re-initialised after shrink)
+    if opt.restore_pretrained_G_path and student_vars is None and opt.target_flops <= 0:
+        from cat_tpu.compress.transfer import transfer_generator_params
+
+        p_cfg, p_vars = cli.load_generator_checkpoint(
+            opt.restore_pretrained_G_path, teacher_norm
+        )
+        student_vars = {
+            "params": transfer_generator_params(p_vars["params"], p_cfg, student_cfg)
+        }
+        logger.print_info("Pretrained weights transferred into the student.")
+
+    if opt.restore_student_G_path:  # prune_continue-style restore
+        student_cfg2, student_vars = cli.load_generator_checkpoint(
+            opt.restore_student_G_path, teacher_norm
+        )
+        student_cfg = student_cfg2
+
+    # taps: encoder output + every third block (reference
+    # base_inception_distiller.py:183-190 => features 2/5/8 for 9 blocks)
+    mapping = ("encode",) + tuple(
+        f"block{i}" for i in range(2, teacher_cfg.n_blocks, 3)
+    )
+    hp = DistillHParams(
+        dataset_mode=opt.dataset_mode,
+        gan_mode=opt.gan_mode,
+        recon_loss_type=opt.recon_loss_type,
+        distill_loss_type=opt.distill_G_loss_type,
+        lambda_gan=opt.lambda_gan,
+        lambda_recon=opt.lambda_recon,
+        lambda_distill=opt.lambda_distill,
+        beta1=opt.beta1,
+        init_type=opt.init_type,
+        init_gain=opt.init_gain,
+        mapping_layers=mapping,
+    )
+    dist = InceptionDistiller(teacher_cfg, student_cfg, hp=hp)
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size,
+        teacher_vars, student_vars,
+    )
+    with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
+        f.write(config_to_json(student_cfg))
+    if opt.prune_only:
+        logger.print_info("prune_only: student architecture emitted; exiting.")
+        return None, state
+
+    judge = cli.make_fid_judge(opt)
+    stats = _real_stats(opt.real_stat_path)
+    task_state_box = [state]
+    evaluate_fn = None
+    if judge and stats:
+        eval_loader = create_eval_dataloader(
+            opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
+        )
+        fid_ev = FIDEvaluator(
+            lambda x: dist.generate_student(task_state_box[0], x),
+            eval_loader, judge[0], judge[1], stats, opt.log_dir,
+            opt.eval_batch_size,
+            teacher_generate=lambda x: dist.generate_teacher(teacher_vars, x),
+        )
+        evaluate_fn = combine_evaluators(**{"": fid_ev})
+
+    def save_fn(state, tag):
+        ckpt.save_net(save_dir, tag, "G",
+                      {"params": state.g.params["G"], "batch_stats": state.g.stats},
+                      student_cfg)
+        ckpt.save_train_state(save_dir, tag, state)
+
+    def step_fn(state, batch, lr):
+        state, metrics = dist.train_step(state, teacher_vars, batch, lr)
+        task_state_box[0] = state
+        return state, metrics
+
+    trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
+                      evaluate_fn, save_fn, logger)
+    return trainer, state
+
+
+# ---------------------------------------------------------------------------
+# profile verb (reference profiler.py:38-164)
+# ---------------------------------------------------------------------------
+
+
+def profile_distill(opt) -> Dict[str, Any]:
+    """Prune-latency benchmark + MAC/param accounting + XLA cross-check."""
+    import jax.numpy as jnp
+
+    from cat_tpu.models.generator import InceptionGenerator
+
+    logger = Logger(opt.log_dir)
+    teacher_norm = cli.norm_config(opt, opt.norm_affine)
+    teacher_cfg, teacher_vars = cli.load_generator_checkpoint(
+        opt.restore_teacher_G_path, teacher_norm
+    )
+    bounds = PruneBounds(
+        cin_lb=max(opt.prune_cin_lb, 1),
+        cin_ub=opt.prune_cin_ub if opt.prune_cin_ub > 0 else None,
+        ft_cin_lb=max(opt.prune_ft_cin_lb, 1),
+    )
+
+    # 5 warmup + 10 timed shrink runs (reference profiler.py:139-149)
+    for _ in range(5):
+        shrink_generator(teacher_cfg, teacher_vars, opt.target_flops,
+                         opt.crop_size, opt.crop_size, bounds)
+    times = []
+    for _ in range(10):
+        t0 = time.time()
+        res = shrink_generator(teacher_cfg, teacher_vars, opt.target_flops,
+                               opt.crop_size, opt.crop_size, bounds)
+        times.append(time.time() - t0)
+    prune_mean = sum(times) / len(times)
+    logger.print_info(f"mean pruning time over 10 runs: {prune_mean*1e3:.3f} ms")
+
+    # student: shipped checkpoint if given, else the fresh shrink result
+    if opt.pretrained_student_G_path:
+        student_cfg, student_vars = cli.load_generator_checkpoint(
+            opt.pretrained_student_G_path, teacher_norm
+        )
+    else:
+        student_cfg, student_vars = res.config, res.variables
+
+    prof = profile_generator(student_cfg, opt.crop_size, opt.crop_size)
+    logger.print_info(
+        f"student MACs: {prof.macs:,}; params: {prof.params:,} "
+        f"(analytic, reference model_profiling formulas)"
+    )
+
+    # cross-check against XLA's own cost analysis (replaces the reference's
+    # torchprofile cross-check, profiler.py:106-124)
+    model = InceptionGenerator(student_cfg)
+    x = jnp.zeros((1, opt.crop_size, opt.crop_size, student_cfg.input_nc))
+    try:
+        lowered = jax.jit(lambda v, x: model.apply(v, x)).lower(student_vars, x)
+        cost = lowered.compile().cost_analysis()
+        xla_flops = cost.get("flops", float("nan")) if cost else float("nan")
+        logger.print_info(
+            f"XLA cost analysis: {xla_flops:,.0f} flops "
+            f"(~{xla_flops / 2:,.0f} MACs) vs analytic {prof.macs:,} MACs"
+        )
+    except Exception as e:  # cost analysis is backend-dependent
+        xla_flops = float("nan")
+        logger.print_info(f"XLA cost analysis unavailable: {e}")
+
+    return {
+        "pruning_seconds_mean": prune_mean,
+        "student_macs": prof.macs,
+        "student_params": prof.params,
+        "xla_flops": xla_flops,
+        "student_config": student_cfg,
+        "student_variables": student_vars,
+        "teacher_cfg": teacher_cfg,
+    }
+
+
+def profile_main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cli.base_arguments(parser)
+    cli.distill_arguments(parser)
+    opt = parser.parse_args(argv)
+    cli.print_options(opt, parser)
+    profile_distill(opt)
+
+
+def export_main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cli.base_arguments(parser)
+    cli.distill_arguments(parser)
+    parser.add_argument("--export_path", type=str, default=None,
+                        help="output path (.stablehlo / .tflite)")
+    parser.add_argument("--export_format", type=str, default="stablehlo",
+                        choices=["stablehlo", "tflite"])
+    opt = parser.parse_args(argv)
+    cli.print_options(opt, parser)
+
+    from cat_tpu.export import export_stablehlo, export_tflite
+
+    teacher_norm = cli.norm_config(opt, opt.norm_affine)
+    if opt.pretrained_student_G_path:
+        student_cfg, student_vars = cli.load_generator_checkpoint(
+            opt.pretrained_student_G_path, teacher_norm
+        )
+    else:
+        teacher_cfg, teacher_vars = cli.load_generator_checkpoint(
+            opt.restore_teacher_G_path, teacher_norm
+        )
+        res = shrink_generator(
+            teacher_cfg, teacher_vars, opt.target_flops,
+            opt.crop_size, opt.crop_size,
+            PruneBounds(cin_lb=max(opt.prune_cin_lb, 1)),
+        )
+        student_cfg, student_vars = res.config, res.variables
+
+    path = opt.export_path or os.path.join(
+        opt.log_dir, f"student.{opt.export_format}"
+    )
+    if opt.export_format == "stablehlo":
+        out = export_stablehlo(student_cfg, student_vars, opt.crop_size,
+                               opt.crop_size, path)
+    else:
+        out = export_tflite(student_cfg, student_vars, opt.crop_size,
+                            opt.crop_size, path)
+    print(f"exported student to {out}")
+
+
+def real_stat_main(argv=None):
+    """Cache {mu, sigma} Inception statistics of a real-image set
+    (reference get_real_stat.py:24-48)."""
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cli.base_arguments(parser)
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--batch_size_stat", type=int, default=32)
+    opt = parser.parse_args(argv)
+
+    judge = cli.make_fid_judge(opt)
+    if judge is None:
+        raise SystemExit("inception weights are required for real stats")
+    from cat_tpu.metrics.fid import compute_real_stats
+
+    spec = cli.transform_spec(opt)
+    loader = create_dataloader(
+        "single", opt.dataroot, opt.batch_size_stat, spec,
+        phase=opt.phase, serial_batches=True, drop_last=False,
+    )
+    images = np.concatenate([b["A"] for b in loader], axis=0)
+    stats = compute_real_stats(images, judge[0], judge[1], opt.batch_size_stat)
+    os.makedirs(os.path.dirname(opt.output_path) or ".", exist_ok=True)
+    np.savez(opt.output_path, mu=stats["mu"], sigma=stats["sigma"])
+    print(f"saved real statistics ({images.shape[0]} images) to {opt.output_path}")
+
+
+# ---------------------------------------------------------------------------
+# entry mains
+# ---------------------------------------------------------------------------
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cli.base_arguments(parser)
+    cli.train_arguments(parser)
+    cli.spade_arguments(parser)
+    opt = parser.parse_args(argv)
+    if opt.model == "cycle_gan":  # reference per-model defaults
+        for k, v in dict(norm="instance", dataset_mode="unaligned",
+                         gan_mode="lsgan", ndf=64).items():
+            if getattr(opt, k) == parser.get_default(k):
+                setattr(opt, k, v)
+    cli.print_options(opt, parser)
+    trainer, state = setup_train(opt)
+    trainer.fit(state)
+
+
+def distill_main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    cli.base_arguments(parser)
+    cli.distill_arguments(parser)
+    opt = parser.parse_args(argv)
+    cli.print_options(opt, parser)
+    trainer, state = setup_distill(opt)
+    if trainer is not None:
+        trainer.fit(state)

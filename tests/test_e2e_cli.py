@@ -1,0 +1,130 @@
+"""End-to-end CLI runs on synthetic micro-datasets (CPU, tiny configs) —
+the counterpart of the reference's scripts/ integration contract."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
+from cat_tpu.models.generator import InceptionGenerator
+from cat_tpu.utils import checkpoint as ckpt
+
+pytestmark = pytest.mark.slow
+
+
+def make_images(directory, n, size=(64, 64), rng=None):
+    os.makedirs(directory, exist_ok=True)
+    rng = rng or np.random.RandomState(0)
+    for i in range(n):
+        arr = rng.randint(0, 255, size=(size[1], size[0], 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(directory, f"{i:03d}.png"))
+
+
+def tiny_teacher_cfg():
+    return InceptionGeneratorConfig.make(
+        ngf=8, channels=None, channels_reduction_factor=2,
+        kernel_sizes=(1, 3), n_blocks=3,
+        norm=NormConfig(kind="instance", affine=True, track_running_stats=False),
+    )
+
+
+@pytest.fixture
+def unaligned_root(tmp_path):
+    root = tmp_path / "db"
+    rng = np.random.RandomState(0)
+    make_images(root / "trainA", 6, rng=rng)
+    make_images(root / "trainB", 6, rng=rng)
+    make_images(root / "valA", 2, rng=rng)
+    make_images(root / "valB", 2, rng=rng)
+    return str(root)
+
+
+@pytest.fixture
+def aligned_root(tmp_path):
+    root = tmp_path / "db"
+    rng = np.random.RandomState(0)
+    make_images(root / "train", 6, size=(128, 64), rng=rng)
+    make_images(root / "val", 2, size=(128, 64), rng=rng)
+    return str(root)
+
+
+def test_distill_cli_end_to_end(aligned_root, tmp_path):
+    from cat_tpu.entry import distill_main
+
+    # teacher checkpoint (randomly-initialised tiny generator)
+    cfg = tiny_teacher_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # spread the norm scales so the FLOPs search has signal
+    rng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    tdir = str(tmp_path / "teacher")
+    ckpt.save_net(tdir, "best", "G", variables, cfg)
+    teacher_path = os.path.join(tdir, "best_net_G.msgpack")
+
+    from cat_tpu.compress.profiling import profile_generator
+
+    target = profile_generator(cfg, 32, 32).macs * 0.5
+    log_dir = str(tmp_path / "logs")
+    distill_main([
+        "--dataroot", aligned_root,
+        "--dataset_mode", "aligned",
+        "--restore_teacher_G_path", teacher_path,
+        "--target_flops", str(target),
+        "--prune_cin_lb", "2",
+        "--log_dir", log_dir,
+        "--batch_size", "2",
+        "--crop_size", "32", "--load_size", "36",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--gan_mode", "lsgan",
+        "--distill_G_loss_type", "ka",
+        "--lambda_recon", "5",
+        "--ndf", "8",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    # student architecture + checkpoints were written
+    assert os.path.exists(os.path.join(log_dir, "student_config.json"))
+    saved = glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+    assert saved, "per-epoch student checkpoint missing"
+    with open(os.path.join(log_dir, "student_config.json")) as f:
+        student = json.load(f)
+    assert student["__type__"] == "InceptionGeneratorConfig"
+
+
+def test_train_cli_cyclegan(unaligned_root, tmp_path):
+    from cat_tpu.entry import train_main
+
+    log_dir = str(tmp_path / "logs")
+    train_main([
+        "--dataroot", unaligned_root,
+        "--model", "cycle_gan",
+        "--dataset_mode", "unaligned",
+        "--log_dir", log_dir,
+        "--batch_size", "2",
+        "--crop_size", "32", "--load_size", "36",
+        "--ngf", "8", "--ndf", "8",
+        "--n_blocks", "2",
+        "--channels_reduction_factor", "2",
+        "--kernel_sizes", "1", "3",
+        "--norm_affine",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G_A.*"))
+    assert os.path.exists(os.path.join(log_dir, "log.txt"))

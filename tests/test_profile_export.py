@@ -1,0 +1,70 @@
+"""profile / export verbs on a tiny model."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
+from cat_tpu.export import export_stablehlo, load_stablehlo
+from cat_tpu.models.generator import InceptionGenerator
+
+pytestmark = pytest.mark.slow
+
+
+def tiny_cfg():
+    return InceptionGeneratorConfig.make(
+        ngf=4, channels=None, channels_reduction_factor=2,
+        kernel_sizes=(1, 3), n_blocks=2,
+        norm=NormConfig(kind="instance", affine=True, track_running_stats=False),
+    )
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    path = str(tmp_path / "student.stablehlo")
+    export_stablehlo(cfg, variables, 32, 32, path)
+    assert os.path.getsize(path) > 0
+
+    exported = load_stablehlo(path)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 32, 32, 3), jnp.float32)
+    out = exported.call(x)  # dynamic batch: 3 != export-time batch
+    ref = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_profile_verb(tmp_path):
+    from cat_tpu.entry import profile_main
+    from cat_tpu.utils import checkpoint as ckpt
+    from cat_tpu.compress.profiling import profile_generator
+
+    cfg = tiny_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    tdir = str(tmp_path / "t")
+    ckpt.save_net(tdir, "best", "G", variables, cfg)
+    target = profile_generator(cfg, 32, 32).macs * 0.6
+    profile_main([
+        "--dataroot", str(tmp_path),
+        "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--target_flops", str(target),
+        "--prune_cin_lb", "2",
+        "--crop_size", "32",
+        "--log_dir", str(tmp_path / "logs"),
+        "--inception_path", "/nonexistent.pth",
+    ])
+    log = open(os.path.join(tmp_path, "logs", "log.txt")).read()
+    assert "mean pruning time" in log
+    assert "student MACs" in log

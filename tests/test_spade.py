@@ -1,0 +1,153 @@
+"""SPADE stack: generator/discriminator, task step, distiller step, shrink."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cat_tpu.compress.shrink import PruneBounds
+from cat_tpu.compress.spade import (
+    collect_spade_gammas,
+    profile_spade_generator,
+    shrink_spade_generator,
+)
+from cat_tpu.core.spade_config import MultiscaleDiscriminatorConfig, SPADEGeneratorConfig
+from cat_tpu.distill.spade_distiller import SPADEDistillHParams, SPADEDistiller
+from cat_tpu.models.spade import SPADEGenerator
+from cat_tpu.train.spade_model import (
+    SPADEHParams,
+    SPADETask,
+    instance_edges,
+    preprocess_input,
+)
+
+SIZE = 32
+NC = 5  # semantic channels
+
+
+def tiny_cfg(ngf=4):
+    return SPADEGeneratorConfig.make(
+        semantic_nc=NC, ngf=ngf, channels=None, channels_reduction_factor=4,
+        kernel_sizes=(1, 3), num_upsampling_layers="normal",
+        crop_size=SIZE, aspect_ratio=1.0, nhidden=16,
+    )
+
+
+def batch(rng, n=2):
+    label = rng.randint(0, NC, size=(n, SIZE, SIZE)).astype(np.float32)
+    sem = preprocess_input(jnp.asarray(label), None, NC)
+    img = jnp.asarray(rng.randn(n, SIZE, SIZE, 3), jnp.float32)
+    return {"semantics": sem, "image": img}
+
+
+def test_preprocess_input_one_hot():
+    label = jnp.asarray([[[0, 2], [1, 2]]], jnp.float32)
+    sem = preprocess_input(label, None, 3)
+    assert sem.shape == (1, 2, 2, 3)
+    np.testing.assert_allclose(sem.sum(axis=-1), 1.0)
+    # dontcare: id >= nc goes to the extra channel
+    label255 = jnp.asarray([[[255, 1]]], jnp.float32)
+    sem = preprocess_input(label255, None, 3, contain_dontcare_label=True)
+    assert sem.shape == (1, 1, 2, 4)
+    assert sem[0, 0, 0, 3] == 1.0
+
+
+def test_instance_edges():
+    inst = jnp.asarray([[[1, 1, 2], [1, 1, 2], [3, 3, 3]]], jnp.float32)
+    e = instance_edges(inst)
+    assert e.shape == (1, 3, 3, 1)
+    assert e[0, 0, 1, 0] == 1.0 and e[0, 0, 2, 0] == 1.0  # vertical boundary
+    assert e[0, 2, 0, 0] == 1.0  # horizontal boundary
+    assert e[0, 0, 0, 0] == 0.0
+
+
+def test_spade_task_step(rng):
+    task = SPADETask(
+        tiny_cfg(),
+        MultiscaleDiscriminatorConfig(input_nc=NC + 3, ndf=4, n_layers=3, num_D=2),
+        SPADEHParams(lambda_vgg=0.0),
+    )
+    state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    b = batch(rng)
+    state, metrics = task.train_step(state, b, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert metrics["G_loss/feat"] > 0
+    out = task.generate(state, b["semantics"])
+    assert out.shape == (2, SIZE, SIZE, 3)
+    # TTUR multipliers
+    assert task.lr_mults == (0.5, 2.0)
+
+
+def test_spade_distiller_step(rng):
+    hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                             mapping_layers=("head_0", "up_1"))
+    dist = SPADEDistiller(tiny_cfg(8), tiny_cfg(4),
+                          MultiscaleDiscriminatorConfig(input_nc=NC + 3, ndf=4,
+                                                        n_layers=3, num_D=2),
+                          hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, SIZE, SIZE, NC)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    b = batch(rng)
+    state, metrics = dist.train_step(state, tv, b, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert "Specific_loss/distill0" in metrics
+    out = dist.generate_student(state, b["semantics"])
+    assert out.shape == (2, SIZE, SIZE, 3)
+
+
+def test_spade_distiller_mse_adaptors(rng):
+    hp = SPADEDistillHParams(distill_loss_type="mse", lambda_vgg=0.0,
+                             mapping_layers=("head_0", "up_1"))
+    dist = SPADEDistiller(tiny_cfg(8), tiny_cfg(4), None, hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, SIZE, SIZE, NC)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    # adaptor A0 maps student head width -> teacher head width
+    k = state.g.params["A"]["A0"]["conv"]["kernel"]
+    assert k.shape[-2:] == (64, 128)  # 16*4 -> 16*8
+    state, metrics = dist.train_step(state, tv, batch(rng), 2e-4)
+    assert metrics["G_loss/distill"] >= 0
+
+
+def test_spade_shrink(rng):
+    cfg = tiny_cfg(8)
+    gen = SPADEGenerator(cfg)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, NC)))
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    full = profile_spade_generator(cfg, SIZE, SIZE).macs
+    res = shrink_spade_generator(cfg, variables, full * 0.5, SIZE, SIZE,
+                                 PruneBounds(cin_lb=1))
+    assert res.searched_macs <= full * 0.5
+    assert res.config.fc_channels % 16 == 0
+    # fin/fout follow the trunk
+    assert res.config.blocks[0].fin == res.config.fc_channels
+    up_blocks = [b for n, b in zip(res.config.block_names, res.config.blocks)
+                 if n.startswith("up")]
+    assert up_blocks[0].fout == up_blocks[0].fin // 2
+    # the pruned architecture builds and runs
+    student = SPADEGenerator(res.config)
+    sv = student.init(jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, NC)))
+    y = student.apply(sv, jnp.zeros((2, SIZE, SIZE, NC)))
+    assert y.shape == (2, SIZE, SIZE, 3)
+
+
+def test_spade_gamma_collection():
+    cfg = tiny_cfg(4)
+    gen = SPADEGenerator(cfg)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, NC)))
+    g = collect_spade_gammas(variables["params"], cfg)
+    assert g.fc.shape == (cfg.fc_channels,)
+    assert len(g.blocks) == len(cfg.blocks)
+    # every active branch contributes one gamma vector
+    b0, c0 = g.blocks[0], cfg.blocks[0]
+    assert len(b0.res) == len(c0.active_res)
+    assert len(b0.sp_res) == len(c0.spade.active_res)
