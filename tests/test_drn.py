@@ -14,10 +14,12 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "drn_fixture.npz")
 def test_bilinear_up_kernel_properties():
     k = bilinear_up_kernel(16)
     assert k.shape == (16, 16)
-    # symmetric and positive with peak at the centre
+    # symmetric with the plateau at the (even-kernel) centre:
+    # peak = (1 - 1/(2f))^2 = 0.9375^2 for k=16
     np.testing.assert_allclose(k, k.T)
     np.testing.assert_allclose(k, k[::-1, ::-1])
-    assert k.max() == pytest.approx(1.0, abs=1e-6)
+    assert k.max() == pytest.approx(0.9375**2, abs=1e-6)
+    assert k.min() >= 0.0
 
 
 @pytest.mark.slow
