@@ -57,6 +57,28 @@ def _identity_batch(b):
     return b
 
 
+def make_miou_evaluator(opt, generate, eval_loader):
+    """mIoU judge when evaluating cityscapes photos (reference condition:
+    'cityscapes' in dataroot and direction BtoA —
+    distillers/inception_distiller.py:262-279)."""
+    if "cityscapes" not in opt.dataroot or opt.direction != "BtoA":
+        return None
+    if not (opt.drn_path and os.path.exists(opt.drn_path)):
+        print(f"WARNING: DRN weights not found at {opt.drn_path!r}; mIoU disabled.")
+        return None
+    if not os.path.exists(opt.table_path):
+        print(f"WARNING: table file not found at {opt.table_path!r}; mIoU disabled.")
+        return None
+    from cat_tpu.metrics.drn import load_drnseg
+    from cat_tpu.train.evaluation import MIoUEvaluator
+
+    model, variables = load_drnseg(opt.drn_path)
+    return MIoUEvaluator(
+        generate, eval_loader, model, variables, opt.table_path,
+        data_dir="", batch_size=opt.eval_batch_size,
+    )
+
+
 def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
     if path and os.path.exists(path):
         npz = np.load(path)
@@ -103,12 +125,18 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         )
         stats = _real_stats(opt.real_stat_path)
         evaluate_fn = None
+        evs = []
+        generate = lambda x: task.generate(task_state_box[0], x)  # noqa: E731
         if judge and stats:
-            fid_ev = FIDEvaluator(
-                lambda x: task.generate(task_state_box[0], x), eval_loader,
-                judge[0], judge[1], stats, opt.log_dir, opt.eval_batch_size,
-            )
-            evaluate_fn = combine_evaluators(**{"": fid_ev})
+            evs.append(FIDEvaluator(
+                generate, eval_loader, judge[0], judge[1], stats,
+                opt.log_dir, opt.eval_batch_size,
+            ))
+        miou_ev = make_miou_evaluator(opt, generate, eval_loader)
+        if miou_ev:
+            evs.append(miou_ev)
+        if evs:
+            evaluate_fn = combine_evaluators(**{"": evs})
 
         def save_fn(state, tag):
             ckpt.save_net(save_dir, tag, "G", {"params": state.g.params,
@@ -455,17 +483,22 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
     stats = _real_stats(opt.real_stat_path)
     task_state_box = [state]
     evaluate_fn = None
+    evs = []
+    eval_loader = create_eval_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
+    )
+    generate = lambda x: dist.generate_student(task_state_box[0], x)  # noqa: E731
     if judge and stats:
-        eval_loader = create_eval_dataloader(
-            opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
-        )
-        fid_ev = FIDEvaluator(
-            lambda x: dist.generate_student(task_state_box[0], x),
-            eval_loader, judge[0], judge[1], stats, opt.log_dir,
+        evs.append(FIDEvaluator(
+            generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
             opt.eval_batch_size,
             teacher_generate=lambda x: dist.generate_teacher(teacher_vars, x),
-        )
-        evaluate_fn = combine_evaluators(**{"": fid_ev})
+        ))
+    miou_ev = make_miou_evaluator(opt, generate, eval_loader)
+    if miou_ev:
+        evs.append(miou_ev)
+    if evs:
+        evaluate_fn = combine_evaluators(**{"": evs})
 
     def save_fn(state, tag):
         ckpt.save_net(save_dir, tag, "G",

@@ -281,20 +281,29 @@ def get_miou(
         mean_iou,
     )
 
-    run = jax.jit(lambda x: model.apply(variables, x))
-    hist = np.zeros((num_classes, num_classes), np.int64)
-    n = fakes_m11.shape[0]
-    for i in range(0, n, batch_size):
-        chunk = np.asarray(fakes_m11[i : i + batch_size])
-        x01 = (chunk + 1.0) / 2.0
+    @jax.jit
+    def run(x01):
+        # fakes are bilinearly upscaled to the label resolution BEFORE the
+        # judge (reference SegList FromArray([2048,1024]), mIoU_score.py:72-75)
+        x01 = jax.image.resize(
+            x01, (x01.shape[0], target_hw[0], target_hw[1], x01.shape[-1]),
+            method="bilinear",
+        )
         x = (x01 - CITYSCAPES_MEAN) / CITYSCAPES_STD
-        logits = run(jnp.asarray(x, jnp.float32))
+        logits = model.apply(variables, x.astype(jnp.float32))
         logits = jax.image.resize(
             logits,
             (logits.shape[0], target_hw[0], target_hw[1], logits.shape[-1]),
             method="bilinear",
         )
-        pred = np.asarray(jnp.argmax(logits, axis=-1))
+        return jnp.argmax(logits, axis=-1)
+
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    n = fakes_m11.shape[0]
+    for i in range(0, n, batch_size):
+        chunk = np.asarray(fakes_m11[i : i + batch_size])
+        x01 = (chunk + 1.0) / 2.0
+        pred = np.asarray(run(jnp.asarray(x01, jnp.float32)))
         for j in range(pred.shape[0]):
             hist += fast_hist(pred[j].ravel(), np.asarray(labels[i + j]).ravel(),
                               num_classes)

@@ -113,17 +113,94 @@ class FIDEvaluator:
         return metrics, {"is_best": improved}
 
 
+class MIoUEvaluator:
+    """Cityscapes mIoU of generated street photos (reference
+    metric/mIoU_score.py:209-247 + SegList table pairing :66-108).
+
+    ``table_path`` rows are "<name> <label_path> <photo_path>"; labels are
+    trainId maps at the judge resolution.
+    """
+
+    def __init__(
+        self,
+        generate: Callable[[np.ndarray], np.ndarray],
+        eval_loader,
+        drn_model,
+        drn_variables,
+        table_path: str,
+        data_dir: str = "",
+        batch_size: int = 2,
+        name: str = "mIoU",
+    ):
+        self.generate = generate
+        self.eval_loader = eval_loader
+        self.drn_model = drn_model
+        self.drn_variables = drn_variables
+        self.batch_size = batch_size
+        self.name = name
+        self.data_dir = data_dir
+        self.tracker = MetricTracker(larger_is_better=True)
+        self.table = []
+        with open(table_path) as f:
+            for line in f:
+                parts = line.strip().split(" ")
+                if len(parts) >= 3:
+                    self.table.append(parts)
+
+    def _label_for(self, sample_name: str) -> Optional[str]:
+        for item in self.table:
+            if item[0] == sample_name or item[2][: -len(".png")].endswith(sample_name):
+                return os.path.join(self.data_dir, item[1])
+        return None
+
+    def __call__(self, step: int) -> Tuple[Dict[str, float], Dict[str, bool]]:
+        from PIL import Image
+
+        from cat_tpu.metrics.drn import get_miou
+
+        fakes, labels = [], []
+        for batch in self.eval_loader:
+            fake = np.asarray(self.generate(batch["A"]))
+            paths = batch.get("A_paths", [])
+            for j in range(fake.shape[0]):
+                name = os.path.splitext(os.path.basename(paths[j]))[0]
+                label_path = self._label_for(name)
+                if label_path is None or not os.path.exists(label_path):
+                    continue
+                fakes.append(fake[j])
+                labels.append(np.asarray(Image.open(label_path)))
+        if not fakes:
+            return {}, {}
+        miou = get_miou(
+            np.stack(fakes), labels, self.drn_model, self.drn_variables,
+            batch_size=self.batch_size,
+            target_hw=labels[0].shape[:2],
+        )
+        improved = self.tracker.update(miou)
+        metrics = {
+            f"metric/{self.name}": miou,
+            f"metric/{self.name}-mean": self.tracker.mean,
+            f"metric/{self.name}-best": self.tracker.best,
+        }
+        return metrics, {"is_best": improved}
+
+
 def combine_evaluators(**named) -> Callable:
-    """Merge evaluators (e.g. CycleGAN's two directions -> is_best_A/B)."""
+    """Merge evaluators (e.g. CycleGAN's two directions -> is_best_A/B).
+    A value may be a list of evaluators sharing one flag (e.g. FID + mIoU
+    both tracking is_best, as in the reference's cityscapes eval)."""
 
     def evaluate(state, step):
         metrics: Dict[str, float] = {}
         flags: Dict[str, bool] = {}
-        for suffix, ev in named.items():
-            m, f = ev(step)
-            metrics.update(m)
-            if f.get("is_best"):
-                flags[f"is_best_{suffix}" if suffix else "is_best"] = True
+        for suffix, evs in named.items():
+            if not isinstance(evs, (list, tuple)):
+                evs = [evs]
+            for ev in evs:
+                m, f = ev(step)
+                metrics.update(m)
+                if f.get("is_best"):
+                    flags[f"is_best_{suffix}" if suffix else "is_best"] = True
         return metrics, flags
 
     return evaluate
