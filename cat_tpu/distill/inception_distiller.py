@@ -53,6 +53,10 @@ class DistillHParams:
     init_type: str = "normal"
     init_gain: float = 0.02
     mapping_layers: Tuple[str, ...] = DEFAULT_MAPPING_LAYERS
+    # 'float32' | 'bfloat16' — bf16 runs convs single-pass on the MXU and
+    # halves activation HBM traffic; master weights, Adam moments, norm
+    # statistics and losses stay f32
+    compute_dtype: str = "float32"
 
 
 class Adaptor(nn.Module):
@@ -187,28 +191,39 @@ class InceptionDistiller:
         lr: jnp.ndarray,
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         hp = self.hp
-        real_A = batch["A"]
-        real_B = batch.get("B", real_A)
+        from cat_tpu.train.common import cast_floats
+
+        cdt = jnp.dtype(hp.compute_dtype)
+        mixed = cdt != jnp.float32
+
+        def down(t):  # params/inputs -> compute dtype
+            return cast_floats(t, cdt) if mixed else t
+
+        def up(t):  # network outputs -> f32 for losses
+            return cast_floats(t, jnp.float32) if mixed else t
+
+        real_A = down(batch["A"])
+        real_B = batch.get("B", batch["A"])
         taps = hp.mapping_layers
         rng, r_drop = jax.random.split(state.rng)
 
         # --- teacher forward: frozen, eval mode ---
         (t_fake, t_acts), _ = apply_net(
             self.netG_teacher,
-            teacher_variables["params"],
+            down(teacher_variables["params"]),
             teacher_variables.get("batch_stats", {}),
             real_A,
             train=False,
             taps=taps,
         )
-        t_fake = jax.lax.stop_gradient(t_fake)
-        t_acts = jax.lax.stop_gradient(t_acts)
+        t_fake = jax.lax.stop_gradient(up(t_fake))
+        t_acts = jax.lax.stop_gradient(up(t_acts))
 
         # --- student forward once, residuals saved ---
         def s_forward(s_params):
             (fake, acts), new_stats = apply_net(
                 self.netG_student,
-                s_params,
+                down(s_params),
                 state.g.stats,
                 real_A,
                 train=True,
@@ -216,7 +231,7 @@ class InceptionDistiller:
                 taps=taps,
                 rngs={"dropout": r_drop},
             )
-            return (fake, acts), new_stats
+            return (up(fake), up(acts)), new_stats
 
         (s_fake, s_acts), s_vjp, s_stats = jax.vjp(
             s_forward, state.g.params["G"], has_aux=True
@@ -224,21 +239,21 @@ class InceptionDistiller:
 
         # --- discriminator update (reference backward_D: 293-312) ---
         if hp.dataset_mode == "aligned":
-            fake_in = jnp.concatenate([real_A, s_fake], axis=-1)
-            real_in = jnp.concatenate([real_A, real_B], axis=-1)
+            fake_in = jnp.concatenate([real_A, down(s_fake)], axis=-1)
+            real_in = jnp.concatenate([real_A, down(real_B)], axis=-1)
         else:
-            fake_in, real_in = s_fake, real_B
+            fake_in, real_in = down(s_fake), down(real_B)
 
         def d_loss_fn(d_params):
             pred_fake, d1 = apply_net(
-                self.netD, d_params, state.d.stats, fake_in,
+                self.netD, down(d_params), state.d.stats, fake_in,
                 train=True, mutable_stats=True,
             )
             pred_real, d2 = apply_net(
-                self.netD, d_params, d1, real_in, train=True, mutable_stats=True
+                self.netD, down(d_params), d1, real_in, train=True, mutable_stats=True
             )
-            lf = gan_loss(pred_fake, False, hp.gan_mode, True)
-            lr_ = gan_loss(pred_real, True, hp.gan_mode, True)
+            lf = gan_loss(up(pred_fake), False, hp.gan_mode, True)
+            lr_ = gan_loss(up(pred_real), True, hp.gan_mode, True)
             return 0.5 * (lf + lr_), (lf, lr_, d2)
 
         (_, (l_d_fake, l_d_real, d_stats)), d_grads = jax.value_and_grad(
@@ -254,11 +269,11 @@ class InceptionDistiller:
         def g_head(outputs, a_params):
             fake, acts = outputs
             if hp.dataset_mode == "aligned":
-                d_in = jnp.concatenate([real_A, fake], axis=-1)
+                d_in = jnp.concatenate([real_A, down(fake)], axis=-1)
             else:
-                d_in = fake
-            pred, _ = apply_net(self.netD, d_params, d_stats, d_in, train=True)
-            l_gan = gan_loss(pred, True, hp.gan_mode, False) * hp.lambda_gan
+                d_in = down(fake)
+            pred, _ = apply_net(self.netD, down(d_params), d_stats, d_in, train=True)
+            l_gan = gan_loss(up(pred), True, hp.gan_mode, False) * hp.lambda_gan
             l_rec = recon_loss(fake, recon_target, hp.recon_loss_type) * hp.lambda_recon
             if hp.lambda_distill > 0:
                 l_dis, dis_parts = self._distill_loss(a_params, acts, t_acts)

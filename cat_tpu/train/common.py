@@ -40,6 +40,20 @@ def to_device(tree: Any, device=None) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, device), tree)
 
 
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast float leaves to a compute dtype (mixed precision with f32 master
+    weights: casts are part of the autodiff graph, so gradients come back in
+    f32; norm statistics are always computed in f32 inside Norm2d)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
 @flax.struct.dataclass
 class NetState:
     """Parameters + Adam moments + (optional) batch stats for one net group."""

@@ -115,6 +115,24 @@ def test_distiller_unaligned_step(rng):
     assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
 
 
+def test_distiller_bf16_compute(rng):
+    from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
+
+    hp = DistillHParams(
+        dataset_mode="aligned", gan_mode="lsgan", distill_loss_type="ka",
+        lambda_recon=5.0, mapping_layers=("encode", "block1"),
+        compute_dtype="bfloat16",
+    )
+    dist = InceptionDistiller(tiny_gen(8), tiny_gen(4), hp=hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, 3)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    state, metrics = dist.train_step(state, tv, fake_batch(rng), 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    # master weights stay f32 (mixed precision, not a dtype change)
+    leaves = jax.tree.leaves(state.g.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+
 def test_image_pool_semantics():
     pool = pool_init(4, 2, 2, 1)
     imgs = jnp.arange(8, dtype=jnp.float32).reshape(8, 1, 1, 1) * jnp.ones((8, 2, 2, 1))
