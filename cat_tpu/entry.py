@@ -305,8 +305,22 @@ def setup_distill(opt) -> Tuple[Optional[Trainer], Any]:
     return setup_distill_inception(opt)
 
 
-def load_spade_checkpoint(path: str):
-    """Load a native SPADE generator checkpoint (.msgpack + .json config)."""
+def load_spade_checkpoint(path: str, opt=None):
+    """Load a SPADE generator checkpoint: native .msgpack (+ .json config)
+    or a reference .pth (shape-driven architecture recovery)."""
+    if path.endswith(".pth"):
+        from cat_tpu.utils.spade_import import load_torch_spade_generator
+
+        kwargs = {}
+        if opt is not None:
+            kwargs = dict(
+                num_upsampling_layers=opt.num_upsampling_layers,
+                crop_size=opt.crop_size,
+                aspect_ratio=opt.aspect_ratio,
+                param_free_norm=cli.parse_param_free_norm(opt.teacher_norm_G),
+                spectral="spectral" in opt.teacher_norm_G,
+            )
+        return load_torch_spade_generator(path, **kwargs)
     from cat_tpu.core.config import config_from_json
     from cat_tpu.utils.checkpoint import load_pytree
 
@@ -326,7 +340,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
 
-    teacher_cfg, teacher_vars = load_spade_checkpoint(opt.restore_teacher_G_path)
+    teacher_cfg, teacher_vars = load_spade_checkpoint(opt.restore_teacher_G_path, opt)
     h_lat = int(opt.crop_size / opt.aspect_ratio)
     t_prof = profile_spade_generator(teacher_cfg, h_lat, opt.crop_size)
     logger.print_info(f"netG teacher FLOPs: {t_prof.macs:,}; params: {t_prof.params:,}")

@@ -42,7 +42,16 @@ DEFAULT_SPADE_MAPPING_LAYERS = ("head_0", "G_middle_1", "up_1")
 
 
 def nearest_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="nearest")
+    """Nearest-neighbour resize with torch's indexing convention
+    (src = floor(dst * in/out)); the reference resizes segmaps with
+    F.interpolate(mode='nearest') everywhere, and jax.image.resize's
+    half-pixel convention picks different pixels on downscale."""
+    in_h, in_w = x.shape[1], x.shape[2]
+    if (in_h, in_w) == (h, w):
+        return x
+    rows = (jnp.arange(h) * in_h // h).astype(jnp.int32)
+    cols = (jnp.arange(w) * in_w // w).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
 
 
 def _norm_cfg(kind: str, affine: bool, momentum=0.1, eps=1e-5) -> NormConfig:
