@@ -595,7 +595,23 @@ def profile_distill(opt) -> Dict[str, Any]:
         xla_flops = float("nan")
         logger.print_info(f"XLA cost analysis unavailable: {e}")
 
+    # inference latency (reference TestOptions --times, test_options.py)
+    from cat_tpu.train.common import to_device
+
+    student_vars = to_device(student_vars)
+    fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x)))
+    s = fwd(student_vars, x)
+    float(s)  # sync
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        s = fwd(student_vars, x)
+    float(s)
+    latency_ms = (time.time() - t0) / reps * 1e3
+    logger.print_info(f"student forward latency: {latency_ms:.3f} ms/image (batch 1)")
+
     return {
+        "latency_ms": latency_ms,
         "pruning_seconds_mean": prune_mean,
         "student_macs": prof.macs,
         "student_params": prof.params,

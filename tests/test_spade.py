@@ -140,6 +140,49 @@ def test_spade_shrink(rng):
     assert y.shape == (2, SIZE, SIZE, 3)
 
 
+def test_spade_distill_cli_prune_only(tmp_path):
+    """SPADE distill verb: shrink preamble + student-config emission
+    (prune_only path, synthetic teacher)."""
+    import os
+
+    from cat_tpu.entry import distill_main
+    from cat_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg(8)
+    gen = SPADEGenerator(cfg)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, NC)))
+    rng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    tdir = str(tmp_path / "teacher")
+    ckpt.save_net(tdir, "best", "G", variables, cfg)
+    full = profile_spade_generator(cfg, SIZE, SIZE).macs
+    log_dir = str(tmp_path / "logs")
+    distill_main([
+        "--dataroot", str(tmp_path),
+        "--distiller", "spade",
+        "--dataset_mode", "cityscapes",
+        "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--target_flops", str(full * 0.5),
+        "--prune_cin_lb", "1",
+        "--input_nc", "4",  # + instance edge = 5 semantic channels
+        "--num_upsampling_layers", "normal",
+        "--crop_size", str(SIZE), "--load_size", str(SIZE),
+        "--aspect_ratio", "1.0",
+        "--log_dir", log_dir,
+        "--prune_only",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    assert os.path.exists(os.path.join(log_dir, "student_config.json"))
+    log = open(os.path.join(log_dir, "log.txt")).read()
+    assert "scale threshold" in log
+
+
 def test_spade_gamma_collection():
     cfg = tiny_cfg(4)
     gen = SPADEGenerator(cfg)
