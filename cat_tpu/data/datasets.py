@@ -45,6 +45,24 @@ def make_dataset(directory: str, max_size: int = -1) -> List[str]:
     return images
 
 
+class _ImageCache:
+    """Optional decoded-image cache (reference --load_in_memory,
+    data/aligned_dataset.py:32-44)."""
+
+    def __init__(self, enabled: bool):
+        self.store: Optional[Dict[str, Image.Image]] = {} if enabled else None
+
+    def open(self, path: str) -> Image.Image:
+        if self.store is None:
+            return Image.open(path)
+        img = self.store.get(path)
+        if img is None:
+            img = Image.open(path)
+            img.load()
+            self.store[path] = img
+        return img
+
+
 class AlignedDataset:
     """AB side-by-side images split in half; A and B share transform params
     (reference data/aligned_dataset.py:32-58)."""
@@ -52,19 +70,20 @@ class AlignedDataset:
     def __init__(self, dataroot: str, phase: str = "train",
                  spec: Optional[TransformSpec] = None,
                  direction: str = "AtoB", max_size: int = -1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, load_in_memory: bool = False):
         self.dir_AB = os.path.join(dataroot, phase)
         self.paths = make_dataset(self.dir_AB, max_size)
         self.spec = spec or TransformSpec()
         self.direction = direction
         self.rng = random.Random(seed)
+        self.cache = _ImageCache(load_in_memory)
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, index: int) -> Dict:
         path = self.paths[index]
-        ab = Image.open(path).convert("RGB")
+        ab = self.cache.open(path).convert("RGB")
         w, h = ab.size
         w2 = w // 2
         a = ab.crop((0, 0, w2, h))
@@ -84,12 +103,13 @@ class UnalignedDataset:
     def __init__(self, dataroot: str, phase: str = "train",
                  spec: Optional[TransformSpec] = None,
                  serial_batches: bool = False, max_size: int = -1,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, load_in_memory: bool = False):
         self.paths_A = make_dataset(os.path.join(dataroot, phase + "A"), max_size)
         self.paths_B = make_dataset(os.path.join(dataroot, phase + "B"), max_size)
         self.spec = spec or TransformSpec()
         self.serial = serial_batches
         self.rng = random.Random(seed)
+        self.cache = _ImageCache(load_in_memory)
 
     def __len__(self):
         return max(len(self.paths_A), len(self.paths_B))
@@ -100,8 +120,8 @@ class UnalignedDataset:
             path_b = self.paths_B[index % len(self.paths_B)]
         else:
             path_b = self.paths_B[self.rng.randint(0, len(self.paths_B) - 1)]
-        a = Image.open(path_a)
-        b = Image.open(path_b)
+        a = self.cache.open(path_a)
+        b = self.cache.open(path_b)
         a_arr = apply_transform(a, self.spec, get_params(self.spec, a.size, self.rng))
         b_arr = apply_transform(b, self.spec, get_params(self.spec, b.size, self.rng))
         return {"A": a_arr, "B": b_arr, "A_paths": path_a, "B_paths": path_b}
@@ -144,11 +164,14 @@ def create_dataloader(
     max_size: int = -1,
     seed: Optional[int] = None,
     drop_last: bool = True,
+    load_in_memory: bool = False,
 ) -> DataLoader:
     if dataset_mode == "aligned":
-        ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed)
+        ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed,
+                            load_in_memory)
     elif dataset_mode == "unaligned":
-        ds = UnalignedDataset(dataroot, phase, spec, serial_batches, max_size, seed)
+        ds = UnalignedDataset(dataroot, phase, spec, serial_batches, max_size,
+                              seed, load_in_memory)
     elif dataset_mode == "single":
         ds = SingleDataset(dataroot, phase, spec, max_size)
     else:

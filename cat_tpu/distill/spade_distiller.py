@@ -291,5 +291,29 @@ class SPADEDistiller:
     def generate_student(self, state: GANTrainState, sem: jnp.ndarray):
         return self._gen_student(state.g.params["G"], state.g.stats, sem)
 
+    def generate_student_raw(self, state: GANTrainState, batch: Dict):
+        """Raw label/instance batch -> image (preprocessing inside jit)."""
+        if not hasattr(self, "_gen_raw"):
+            def fn(params, stats, batch):
+                sem = self._semantics(batch)
+                out, _ = self._apply(self.netG_student, params, stats, sem, False)
+                return out
+
+            self._gen_raw = jax.jit(fn)
+        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        return self._gen_raw(state.g.params["G"], state.g.stats, device_batch)
+
+    def generate_teacher_raw(self, teacher_variables: Dict, batch: Dict):
+        if not hasattr(self, "_gen_t_raw"):
+            def fn(tv, batch):
+                sem = self._semantics(batch)
+                stats = {k: v for k, v in tv.items() if k != "params"}
+                out, _ = self._apply(self.netG_teacher, tv["params"], stats, sem, False)
+                return out
+
+            self._gen_t_raw = jax.jit(fn)
+        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        return self._gen_t_raw(teacher_variables, device_batch)
+
     def generate_teacher(self, teacher_variables: Dict, sem: jnp.ndarray):
         return self._gen_teacher(teacher_variables, sem)

@@ -100,7 +100,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
         phase=opt.phase, direction=opt.direction,
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
-        seed=opt.seed,
+        seed=opt.seed, load_in_memory=opt.load_in_memory,
     )
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     gen_cfg = cli.generator_config(opt, opt.ngf)
@@ -400,6 +400,35 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
 
     task_state_box = [state]
 
+    # evaluation: FID (+mIoU) of generated street photos from val labels
+    evs = []
+    judge = cli.make_fid_judge(opt) if not opt.no_fid else None
+    stats = _real_stats(opt.real_stat_path)
+    if judge or (opt.drn_path and os.path.exists(opt.drn_path)):
+        eval_loader = create_cityscapes_dataloader(
+            opt.dataroot, opt.eval_batch_size, phase="val", shuffle=False,
+            drop_last=False, load_size=opt.load_size, crop_size=opt.crop_size,
+            aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
+            pairing_check=not opt.no_pairing_check,
+        )
+        generate = lambda b: dist.generate_student_raw(task_state_box[0], b)  # noqa: E731
+        if judge and stats:
+            evs.append(FIDEvaluator(
+                generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
+                opt.eval_batch_size, input_key=None,
+                teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
+            ))
+        if opt.drn_path and os.path.exists(opt.drn_path) and os.path.exists(opt.table_path):
+            from cat_tpu.metrics.drn import load_drnseg
+            from cat_tpu.train.evaluation import MIoUEvaluator
+
+            dm, dv = load_drnseg(opt.drn_path)
+            miou = MIoUEvaluator(generate, eval_loader, dm, dv, opt.table_path,
+                                 batch_size=opt.eval_batch_size)
+            miou.input_key = None
+            evs.append(miou)
+    evaluate_fn = combine_evaluators(**{"": evs}) if evs else None
+
     def save_fn(state, tag):
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params["G"], **state.g.stats}, student_cfg)
@@ -410,7 +439,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         task_state_box[0] = state
         return state, metrics
 
-    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), None, save_fn, logger)
+    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
+                      save_fn, logger)
     return trainer, state
 
 
@@ -423,7 +453,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
         phase=opt.phase, direction=opt.direction,
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
-        seed=opt.seed,
+        seed=opt.seed, load_in_memory=opt.load_in_memory,
     )
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     save_dir = os.path.join(opt.log_dir, "checkpoints")

@@ -58,7 +58,11 @@ class FIDEvaluator:
         name: str = "fid",
         dump_images: int = 10,
         teacher_generate: Optional[Callable] = None,
+        input_key: str = "A",
     ):
+        """``input_key``: batch key fed to ``generate``; None passes the whole
+        batch dict (SPADE label+instance inputs)."""
+        self.input_key = input_key
         self.generate = generate
         self.eval_loader = eval_loader
         self.inception_model = inception_model
@@ -78,20 +82,30 @@ class FIDEvaluator:
             os.path.join(self.log_dir, "eval", str(step)) if self.log_dir else None
         )
         for batch in self.eval_loader:
-            fake = np.asarray(self.generate(batch["A"]))
+            inp = batch[self.input_key] if self.input_key else batch
+            fake = np.asarray(self.generate(inp))
             fakes.append(fake)
             if save_dir and dumped < self.dump_images:
                 tfake = (
-                    np.asarray(self.teacher_generate(batch["A"]))
+                    np.asarray(self.teacher_generate(inp))
                     if self.teacher_generate
                     else None
                 )
-                paths = batch.get("A_paths", [str(i) for i in range(len(fake))])
+                paths = batch.get("A_paths") or batch.get("path") or [
+                    str(i) for i in range(len(fake))
+                ]
                 for j in range(len(fake)):
                     if dumped >= self.dump_images:
                         break
                     base = os.path.splitext(os.path.basename(paths[j]))[0]
-                    save_image(tensor2im(batch["A"][j]), os.path.join(save_dir, "input", f"{base}.png"))
+                    if self.input_key:
+                        save_image(tensor2im(batch[self.input_key][j]),
+                                   os.path.join(save_dir, "input", f"{base}.png"))
+                    elif "label" in batch:
+                        from cat_tpu.utils.image import tensor2label
+
+                        save_image(tensor2label(batch["label"][j]),
+                                   os.path.join(save_dir, "input", f"{base}.png"))
                     save_image(tensor2im(fake[j]), os.path.join(save_dir, "Sfake" if tfake is not None else "fake", f"{base}.png"))
                     if tfake is not None:
                         save_image(tensor2im(tfake[j]), os.path.join(save_dir, "Tfake", f"{base}.png"))
@@ -139,6 +153,7 @@ class MIoUEvaluator:
         self.batch_size = batch_size
         self.name = name
         self.data_dir = data_dir
+        self.input_key: Optional[str] = "A"  # None = pass the whole batch
         self.tracker = MetricTracker(larger_is_better=True)
         self.table = []
         with open(table_path) as f:
@@ -160,8 +175,9 @@ class MIoUEvaluator:
 
         fakes, labels = [], []
         for batch in self.eval_loader:
-            fake = np.asarray(self.generate(batch["A"]))
-            paths = batch.get("A_paths", [])
+            inp = batch[self.input_key] if self.input_key else batch
+            fake = np.asarray(self.generate(inp))
+            paths = batch.get("A_paths") or batch.get("path") or []
             for j in range(fake.shape[0]):
                 name = os.path.splitext(os.path.basename(paths[j]))[0]
                 label_path = self._label_for(name)
