@@ -1,0 +1,116 @@
+"""Trainer driver cadence, LR schedules, checkpoint round-trip, CLI defaults."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cat_tpu.train.optim import PlateauLR, cosine_lr, linear_lr, schedule_lr, step_lr
+from cat_tpu.train.trainer import Trainer, TrainerConfig
+from cat_tpu.utils import checkpoint as ckpt
+from cat_tpu.utils.logger import Logger
+
+
+class FakeLoader:
+    def __init__(self, n_batches, batch_size=2):
+        self.n = n_batches
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield {"x": np.full((self.batch_size, 2), float(i), np.float32)}
+
+
+def test_trainer_cadence(tmp_path):
+    calls = {"steps": [], "evals": [], "saves": []}
+
+    def step_fn(state, batch, lr):
+        calls["steps"].append(lr)
+        return state + 1, {"loss": jnp.asarray(float(state))}
+
+    def evaluate_fn(state, step):
+        calls["evals"].append(step)
+        return {"metric/fid": 1.0}, {"is_best": True}
+
+    def save_fn(state, tag):
+        calls["saves"].append(tag)
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path), nepochs=2, nepochs_decay=2,
+        print_freq=2, save_latest_freq=3, save_epoch_freq=2, lr=1.0,
+        lr_policy="linear",
+    )
+    trainer = Trainer(step_fn, FakeLoader(3), cfg, evaluate_fn, save_fn,
+                      Logger(str(tmp_path)))
+    final = trainer.fit(0)
+    assert final == 12  # 4 epochs x 3 batches
+    # eval at iter_base(1), every 3 iters, and at epoch 2 & 4 ends
+    assert 1 in calls["evals"]
+    # per-epoch LR: epochs 1-2 full, then linear decay over 2 epochs
+    assert calls["steps"][0] == 1.0
+    assert calls["steps"][-1] < 1.0
+    # best checkpoints saved
+    assert "best" in calls["saves"] and "latest" in calls["saves"]
+    assert "2" in calls["saves"] and "4" in calls["saves"]
+    assert os.path.exists(os.path.join(tmp_path, "scalars.jsonl"))
+
+
+def test_lr_schedules():
+    # linear: constant for nepochs, decaying to ~0 afterwards
+    assert linear_lr(0, 2e-4, 100, 100) == 2e-4
+    assert linear_lr(99, 2e-4, 100, 100) == 2e-4
+    assert linear_lr(199, 2e-4, 100, 100) < 2e-5
+    assert abs(step_lr(100, 1.0, 50) - 0.01) < 1e-12
+    assert abs(cosine_lr(0, 1.0, 100) - 1.0) < 1e-9
+    p = PlateauLR(1.0, patience=1)
+    p.update(1.0)
+    p.update(1.0)
+    lr = p.update(1.0)  # two bad epochs -> decay
+    assert lr == 0.2
+    assert schedule_lr("linear", 0, 1.0, nepochs=10, nepochs_decay=10) == 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
+
+    cfg = InceptionGeneratorConfig.make(ngf=4, channels=None,
+                                        channels_reduction_factor=2,
+                                        kernel_sizes=(1, 3), n_blocks=2)
+    tree = {"params": {"w": np.arange(6.0).reshape(2, 3)},
+            "batch_stats": {"m": np.zeros(3)}}
+    path = ckpt.save_net(str(tmp_path), "best", "G", tree, cfg)
+    assert path.endswith("best_net_G.msgpack")
+    loaded, cfg2 = ckpt.load_net(str(tmp_path), "best", "G")
+    np.testing.assert_allclose(loaded["params"]["w"], tree["params"]["w"])
+    assert cfg2 == cfg
+
+    # full train-state round trip (with `like` restoring pytree types)
+    state = {"step": jnp.asarray(3), "opt": {"mu": jnp.ones((2, 2))}}
+    ckpt.save_train_state(str(tmp_path), "latest", state)
+    restored = ckpt.load_train_state(str(tmp_path), "latest", state)
+    assert int(restored["step"]) == 3
+
+
+def test_cli_defaults_match_reference():
+    """Key defaults mirror the reference option surface."""
+    import argparse
+
+    from cat_tpu import cli
+
+    parser = argparse.ArgumentParser()
+    cli.base_arguments(parser)
+    cli.train_arguments(parser)
+    opt = parser.parse_args(["--dataroot", "x"])
+    assert opt.seed == 233  # base_options.py:33-36
+    assert opt.norm == "instance"
+    assert opt.load_size == 286 and opt.crop_size == 256
+    assert opt.kernel_sizes == [3, 5, 7]
+    assert opt.lr == 2e-4 and opt.beta1 == 0.5
+    assert opt.gan_mode == "hinge"
+    assert opt.pool_size == 50
+    assert opt.ngf == 64 and opt.ndf == 128
+    assert opt.lambda_recon == 100.0
