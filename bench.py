@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 SIZE = 256
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 WARMUP = 3
 ITERS = 10

@@ -71,8 +71,9 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--inception_path", type=str,
                    default="pt_inception-2015-12-05.pth",
                    help="FID InceptionV3 torch checkpoint (judge weights)")
-    p.add_argument("--n_devices", type=int, default=0,
-                   help="data-parallel devices (0 = all available)")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel devices (0 = all available; default "
+                        "single-device, like the reference's gpu_ids=0)")
     return p
 
 

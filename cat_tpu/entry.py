@@ -38,23 +38,20 @@ def _mesh_or_none(opt):
     return make_mesh(n)
 
 
-def _place(state, aux, batch_fn, mesh):
-    """Replicate state (and aux pytrees) / shard batches when a mesh exists."""
+def _place(state, aux, mesh):
+    """Replicate state/aux over the mesh; return a per-batch shard fn.
+
+    Data parallelism is transparent to the tasks: params replicated, batch
+    sharded on the leading axis, XLA emits the collectives (see
+    cat_tpu/parallel/mesh.py and tests/test_sharding.py).
+    """
     if mesh is None:
-        return state, aux, batch_fn
+        return state, aux, (lambda b: b)
     from cat_tpu.parallel.mesh import replicate, shard_batch
 
     state = replicate(state, mesh)
     aux = replicate(aux, mesh) if aux is not None else None
-
-    def sharded_batch(b):
-        return shard_batch(batch_fn(b), mesh)
-
-    return state, aux, sharded_batch
-
-
-def _identity_batch(b):
-    return b
+    return state, aux, (lambda b: shard_batch(b, mesh))
 
 
 def make_miou_evaluator(opt, generate, eval_loader):
@@ -119,6 +116,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
         task = Pix2PixTask(gen_cfg, d_cfg, hp)
         state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+        state, _, shard = _place(state, None, mesh)
 
         eval_loader = create_eval_dataloader(
             opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
@@ -146,7 +144,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         task_state_box = [state]
 
         def step_fn(state, batch, lr):
-            state, metrics = task.train_step(state, batch, lr)
+            state, metrics = task.train_step(state, shard(batch), lr)
             task_state_box[0] = state
             return state, metrics
 
@@ -165,6 +163,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         d_cfg = cli.discriminator_config(opt, opt.output_nc)
         task = CycleGANTask(gen_cfg, d_cfg, hp)
         state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+        state, _, shard = _place(state, None, mesh)
         task_state_box = [state]
 
         evaluators = {}
@@ -195,7 +194,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             ckpt.save_train_state(save_dir, tag, state)
 
         def step_fn(state, batch, lr):
-            state, metrics = task.train_step(state, batch, lr)
+            state, metrics = task.train_step(state, shard(batch), lr)
             task_state_box[0] = state
             return state, metrics
 
@@ -517,6 +516,8 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size,
         teacher_vars, student_vars,
     )
+    mesh = _mesh_or_none(opt)
+    state, teacher_vars, shard = _place(state, teacher_vars, mesh)
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
         f.write(config_to_json(student_cfg))
     if opt.prune_only:
@@ -551,7 +552,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
-        state, metrics = dist.train_step(state, teacher_vars, batch, lr)
+        state, metrics = dist.train_step(state, teacher_vars, shard(batch), lr)
         task_state_box[0] = state
         return state, metrics
 

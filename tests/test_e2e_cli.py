@@ -49,7 +49,7 @@ def unaligned_root(tmp_path):
 def aligned_root(tmp_path):
     root = tmp_path / "db"
     rng = np.random.RandomState(0)
-    make_images(root / "train", 6, size=(128, 64), rng=rng)
+    make_images(root / "train", 8, size=(128, 64), rng=rng)
     make_images(root / "val", 2, size=(128, 64), rng=rng)
     return str(root)
 
@@ -103,6 +103,50 @@ def test_distill_cli_end_to_end(aligned_root, tmp_path):
     with open(os.path.join(log_dir, "student_config.json")) as f:
         student = json.load(f)
     assert student["__type__"] == "InceptionGeneratorConfig"
+
+
+def test_distill_cli_data_parallel(aligned_root, tmp_path):
+    """distill verb over the 8-virtual-device mesh (--n_devices 0 = all)."""
+    from cat_tpu.entry import distill_main
+
+    cfg = tiny_teacher_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    tdir = str(tmp_path / "teacher")
+    ckpt.save_net(tdir, "best", "G", variables, cfg)
+
+    from cat_tpu.compress.profiling import profile_generator
+
+    target = profile_generator(cfg, 32, 32).macs * 0.6
+    log_dir = str(tmp_path / "logs")
+    distill_main([
+        "--dataroot", aligned_root,
+        "--dataset_mode", "aligned",
+        "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--target_flops", str(target),
+        "--prune_cin_lb", "2",
+        "--log_dir", log_dir,
+        "--batch_size", "8",  # shards 1 sample per virtual device
+        "--n_devices", "0",
+        "--crop_size", "32", "--load_size", "36",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--gan_mode", "lsgan",
+        "--distill_G_loss_type", "ka",
+        "--lambda_recon", "5",
+        "--ndf", "8",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
 
 
 def test_train_cli_cyclegan(unaligned_root, tmp_path):
