@@ -57,6 +57,8 @@ class DistillHParams:
     # halves activation HBM traffic; master weights, Adam moments, norm
     # statistics and losses stay f32
     compute_dtype: str = "float32"
+    # route affine instance-norm+relu through the single-pass Pallas kernel
+    fused_norms: bool = False
 
 
 class Adaptor(nn.Module):
@@ -89,8 +91,12 @@ class InceptionDistiller:
             disc_cfg = NLayerDiscriminatorConfig(input_nc=d_in, ndf=64)
         self.disc_cfg = disc_cfg
         self.hp = hp
-        self.netG_teacher = InceptionGenerator(teacher_cfg, hp.init_type, hp.init_gain)
-        self.netG_student = InceptionGenerator(student_cfg, hp.init_type, hp.init_gain)
+        self.netG_teacher = InceptionGenerator(
+            teacher_cfg, hp.init_type, hp.init_gain, fused_norms=hp.fused_norms
+        )
+        self.netG_student = InceptionGenerator(
+            student_cfg, hp.init_type, hp.init_gain, fused_norms=hp.fused_norms
+        )
         self.netD = NLayerDiscriminator(disc_cfg, hp.init_type, hp.init_gain)
         self.netA = Adaptor(features=teacher_cfg.bottleneck)
         self.tx = adam_tx(hp.beta1)

@@ -21,12 +21,28 @@ from cat_tpu.core.config import InceptionBlockConfig, NormConfig
 from cat_tpu.ops.nn import Norm2d, activation, conv_kernel_init, norm_scale_init, spatial_pad
 
 
+class _AffineParams(nn.Module):
+    """scale/bias params matching Norm2d's naming (for the fused kernel)."""
+
+    scale_init: any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
 class ConvNormAct(nn.Module):
     """conv -> norm -> activation (reference ConvBNReLU).
 
     The conv is always VALID; callers pad explicitly (the reference alternates
     reflect / zero padding per call-site).  ``pad`` > 0 applies spatial
     padding of mode ``pad_mode`` before the conv.
+
+    ``fused=True`` routes affine instance-norm + relu/leaky-relu through the
+    single-pass Pallas kernel (cat_tpu/ops/pallas_norm.py) — identical math
+    and parameter tree, one HBM pass fewer.
     """
 
     features: int
@@ -42,6 +58,7 @@ class ConvNormAct(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     axis_name: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -57,6 +74,19 @@ class ConvNormAct(nn.Module):
             kernel_init=conv_kernel_init(self.init_type, self.init_gain),
             name="conv",
         )(x)
+        fusable = (
+            self.fused
+            and self.norm.kind == "instance"
+            and self.norm.affine
+            and self.act in ("relu", "nn.ReLU")
+        )
+        if fusable:
+            from cat_tpu.ops.pallas_norm import fused_instance_norm_act
+
+            scale, bias = _AffineParams(
+                scale_init=norm_scale_init(self.norm, self.init_gain), name="norm"
+            )(x.shape[-1])
+            return fused_instance_norm_act(x, scale, bias, self.norm.eps, "relu")
         x = Norm2d(
             self.norm,
             scale_init=norm_scale_init(self.norm, self.init_gain),
@@ -94,6 +124,7 @@ class InceptionBlock(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     axis_name: Optional[str] = None
+    fused_norms: bool = False
 
     def _cna(self, features, kernel, groups=1, pad=0, name=None):
         return ConvNormAct(
@@ -108,6 +139,7 @@ class InceptionBlock(nn.Module):
             init_type=self.init_type,
             init_gain=self.init_gain,
             axis_name=self.axis_name,
+            fused=self.fused_norms,
             name=name,
         )
 

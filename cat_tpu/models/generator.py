@@ -40,6 +40,7 @@ class InceptionGenerator(nn.Module):
     init_type: str = "normal"
     init_gain: float = 0.02
     axis_name: Optional[str] = None
+    fused_norms: bool = False  # single-pass Pallas instance-norm+relu
 
     @nn.compact
     def __call__(
@@ -67,6 +68,7 @@ class InceptionGenerator(nn.Module):
                 init_type=self.init_type,
                 init_gain=self.init_gain,
                 axis_name=self.axis_name,
+                fused=self.fused_norms,
                 name=name,
             )
 
@@ -94,6 +96,7 @@ class InceptionGenerator(nn.Module):
                 init_type=self.init_type,
                 init_gain=self.init_gain,
                 axis_name=self.axis_name,
+                fused_norms=self.fused_norms,
                 name=f"block{i}",
             )(h, train=train)
             name = f"block{i}"

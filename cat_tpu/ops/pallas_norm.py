@@ -102,3 +102,30 @@ def instance_norm_act(
     if use_pallas == "yes" or interpret:
         return instance_norm_act_pallas(x, scale, bias, eps, act, interpret)
     return instance_norm_act_xla(x, scale, bias, eps, act)
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: Pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_instance_norm_act(x, scale, bias, eps: float = 1e-5, act: str = "relu"):
+    """Trainable fused instance-norm+affine+act: single-pass Pallas forward;
+    the backward differentiates the (bit-equivalent) XLA formulation with
+    rematerialised statistics — no residual feature maps besides x."""
+    return instance_norm_act(x, scale, bias, eps, act)
+
+
+def _fused_fwd(x, scale, bias, eps, act):
+    return instance_norm_act(x, scale, bias, eps, act), (x, scale, bias)
+
+
+def _fused_bwd(eps, act, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda a, s, b: instance_norm_act_xla(a, s, b, eps, act),
+                     x, scale, bias)
+    return vjp(g)
+
+
+fused_instance_norm_act.defvjp(_fused_fwd, _fused_bwd)
