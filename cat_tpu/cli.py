@@ -12,12 +12,9 @@ get_real_stat.py — same verbs as the reference.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import pickle
 import random
-from typing import Any, Dict, Optional, Tuple
-
 import numpy as np
 
 from cat_tpu.core.config import (
@@ -25,12 +22,9 @@ from cat_tpu.core.config import (
     NLayerDiscriminatorConfig,
     NormConfig,
     PixelDiscriminatorConfig,
-    config_to_json,
 )
-from cat_tpu.data.datasets import create_dataloader, create_eval_dataloader
 from cat_tpu.data.transforms import TransformSpec
-from cat_tpu.train.trainer import Trainer, TrainerConfig
-from cat_tpu.utils.logger import Logger
+from cat_tpu.train.trainer import TrainerConfig
 
 
 # ---------------------------------------------------------------------------

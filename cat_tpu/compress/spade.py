@@ -21,7 +21,6 @@ Shrink parity notes (utils/common.py:734-821):
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 from typing import Callable, Dict, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cat_tpu.metrics.fid import get_fid

@@ -15,10 +15,9 @@ The driver is task-agnostic: it consumes
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from cat_tpu.train.optim import schedule_lr
