@@ -37,6 +37,30 @@ def test_stablehlo_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_export_verb(tmp_path):
+    """export.py CLI: student checkpoint -> StableHLO artifact."""
+    from cat_tpu.entry import export_main
+    from cat_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    sdir = str(tmp_path / "student")
+    ckpt.save_net(sdir, "best", "G", variables, cfg)
+    out_path = str(tmp_path / "student.stablehlo")
+    export_main([
+        "--dataroot", str(tmp_path),
+        "--restore_teacher_G_path", "/unused.msgpack",
+        "--pretrained_student_G_path", os.path.join(sdir, "best_net_G.msgpack"),
+        "--crop_size", "32",
+        "--log_dir", str(tmp_path / "logs"),
+        "--export_path", out_path,
+        "--export_format", "stablehlo",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    assert os.path.getsize(out_path) > 0
+
+
 def test_profile_verb(tmp_path):
     from cat_tpu.entry import profile_main
     from cat_tpu.utils import checkpoint as ckpt
