@@ -115,6 +115,26 @@ def get_fid(
     )
 
 
+def get_fid_direct(
+    reals: np.ndarray,
+    fakes: np.ndarray,
+    model: InceptionV3FID,
+    variables: Dict,
+    batch_size: int = 32,
+    robust: bool = False,
+) -> float:
+    """FID between two [-1,1] image sets without cached statistics
+    (reference get_fid_new, metric/__init__.py:75-113).  ``robust`` uses the
+    coordinate-wise median instead of the mean for the activation centres —
+    the reference's 'median' FID variant."""
+    act_r = get_activations(tensor2im_batch(reals), model, variables, batch_size)
+    act_f = get_activations(tensor2im_batch(fakes), model, variables, batch_size)
+    centre = np.median if robust else np.mean
+    mu1, mu2 = centre(act_r, axis=0), centre(act_f, axis=0)
+    s1, s2 = np.cov(act_r, rowvar=False), np.cov(act_f, rowvar=False)
+    return calculate_frechet_distance(mu1, s1, mu2, s2)
+
+
 def compute_real_stats(
     images_m11: np.ndarray,
     model: InceptionV3FID,

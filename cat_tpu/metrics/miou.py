@@ -42,6 +42,12 @@ def mean_iou(hist: np.ndarray) -> float:
     return float(np.nanmean(ious))
 
 
+def median_iou(hist: np.ndarray) -> float:
+    """Median per-class IoU (reference get_mIoU_new median variant)."""
+    ious = per_class_iou(hist) * 100.0
+    return float(np.nanmedian(ious))
+
+
 def accumulate_hist(
     pairs: Iterable[Tuple[np.ndarray, np.ndarray]], n: int = N_CLASSES
 ) -> np.ndarray:

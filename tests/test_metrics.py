@@ -111,6 +111,30 @@ def test_inception_forward_shapes():
     assert f3.shape == (2, 2048)
 
 
+def test_median_iou():
+    from cat_tpu.metrics.miou import median_iou
+
+    hist = np.zeros((3, 3), dtype=np.int64)
+    hist[0, 0] = 10          # class 0: IoU 1.0
+    hist[1, 1] = 1
+    hist[1, 2] = 1           # class 1: IoU 0.5, class 2: 0/(1) = 0
+    assert median_iou(hist) == 50.0
+
+
+@pytest.mark.slow
+def test_get_fid_direct(rng):
+    from cat_tpu.metrics.fid import get_fid_direct
+    from cat_tpu.metrics.inception import InceptionV3FID
+
+    model = InceptionV3FID(output_blocks=(3,))
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    a = rng.uniform(-1, 1, size=(6, 32, 32, 3)).astype(np.float32)
+    same = get_fid_direct(a, a.copy(), model, variables, batch_size=3)
+    assert abs(same) < 1e-2
+    robust = get_fid_direct(a, a.copy(), model, variables, batch_size=3, robust=True)
+    assert abs(robust) < 1e-2
+
+
 @pytest.mark.slow
 def test_get_fid_pipeline(rng):
     """End-to-end FID with a random-weight judge: same set ~ 0, disjoint > 0."""
