@@ -98,10 +98,21 @@ def instance_norm_act(
     kernel when the per-sample feature map fits the VMEM budget on TPU."""
     if use_pallas == "auto":
         fits = x.shape[1] * x.shape[2] * x.shape[3] * 4 * 2 <= _VMEM_BUDGET
-        use_pallas = "yes" if (jax.default_backend() == "tpu" and fits) else "no"
+        use_pallas = "yes" if (_effective_backend() == "tpu" and fits) else "no"
     if use_pallas == "yes" or interpret:
         return instance_norm_act_pallas(x, scale, bias, eps, act, interpret)
     return instance_norm_act_xla(x, scale, bias, eps, act)
+
+
+def _effective_backend() -> str:
+    """The platform computations will actually lower for.  Unlike
+    jax.default_backend(), this respects a jax.default_device(...) context —
+    model init runs on the host CPU backend (train/common.init_on_cpu),
+    where Pallas cannot lower."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
 
 
 # ---------------------------------------------------------------------------
