@@ -155,6 +155,19 @@ def spade_arguments(parser: argparse.ArgumentParser):
     return p
 
 
+def test_arguments(parser: argparse.ArgumentParser):
+    """Evaluation-verb flags (reference options/test_options.py:13-117)."""
+    p = parser
+    p.add_argument("--results_dir", type=str, default=None,
+                   help="where the eval image dumps go (default: log_dir)")
+    p.add_argument("--num_test", type=int, default=-1,
+                   help="how many eval images to run (-1 = all)")
+    p.add_argument("--times", type=int, default=100,
+                   help="forward repetitions for the latency benchmark")
+    p.add_argument("--no_mIoU", action="store_true")
+    return p
+
+
 def semantic_nc(opt) -> int:
     """input_nc + dontcare + instance edge (reference base_options.py:211-215)."""
     return (

@@ -187,18 +187,20 @@ def create_eval_dataloader(
     spec: Optional[TransformSpec] = None,
     direction: str = "AtoB",
     phase: str = "val",
+    max_size: int = -1,
 ) -> DataLoader:
     """Validation loader: serial, no flip; unaligned switches to single mode
-    on val{A,B} (reference data/__init__.py:50-65)."""
+    on val{A,B} (reference data/__init__.py:50-65).  ``max_size`` caps the
+    sweep length (reference TestOptions --num_test)."""
     spec = copy.deepcopy(spec) or TransformSpec()
     spec.no_flip = True
     if dataset_mode == "unaligned":
         sub = phase + ("A" if direction == "AtoB" else "B")
-        ds = SingleDataset(dataroot, sub, spec)
+        ds = SingleDataset(dataroot, sub, spec, max_size)
     elif dataset_mode == "aligned":
-        ds = AlignedDataset(dataroot, phase, spec, direction, seed=0)
+        ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed=0)
     elif dataset_mode == "single":
-        ds = SingleDataset(dataroot, phase, spec)
+        ds = SingleDataset(dataroot, phase, spec, max_size)
     else:
         raise NotImplementedError(dataset_mode)
     return DataLoader(ds, eval_batch_size, shuffle=False, drop_last=False)

@@ -208,6 +208,45 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
     raise NotImplementedError(f"model [{opt.model}]")
 
 
+def _spade_evaluators(opt, generate, teacher_generate=None):
+    """FID (+mIoU) evaluators over the cityscapes val split for SPADE
+    training/distillation (reference spade_model.evaluate_model:217-288,
+    spade_distiller.py:96-172). Returns a combined evaluate_fn or None."""
+    from cat_tpu.data.cityscapes import create_cityscapes_dataloader
+
+    judge = cli.make_fid_judge(opt) if not opt.no_fid else None
+    stats = _real_stats(opt.real_stat_path)
+    want_miou = (
+        opt.drn_path and os.path.exists(opt.drn_path)
+        and os.path.exists(opt.table_path)
+    )
+    if not ((judge and stats) or want_miou):
+        return None
+    eval_loader = create_cityscapes_dataloader(
+        opt.dataroot, opt.eval_batch_size, phase="val", shuffle=False,
+        drop_last=False, load_size=opt.load_size, crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
+        pairing_check=not opt.no_pairing_check,
+    )
+    evs = []
+    if judge and stats:
+        evs.append(FIDEvaluator(
+            generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
+            opt.eval_batch_size, input_key=None,
+            teacher_generate=teacher_generate,
+        ))
+    if want_miou:
+        from cat_tpu.metrics.drn import load_drnseg
+        from cat_tpu.train.evaluation import MIoUEvaluator
+
+        dm, dv = load_drnseg(opt.drn_path)
+        miou = MIoUEvaluator(generate, eval_loader, dm, dv, opt.table_path,
+                             batch_size=opt.eval_batch_size)
+        miou.input_key = None
+        evs.append(miou)
+    return combine_evaluators(**{"": evs})
+
+
 def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     """GauGAN teacher training (reference models/spade_model.py)."""
     from cat_tpu.core.spade_config import MultiscaleDiscriminatorConfig
@@ -244,6 +283,12 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     )
     task_state_box = [state]
 
+    # FID + mIoU + best tracking during teacher training (reference
+    # spade_model.evaluate_model:217-288 — was a round-1 gap)
+    evaluate_fn = _spade_evaluators(
+        opt, lambda b: task.generate_raw(task_state_box[0], b)
+    )
+
     def save_fn(state, tag):
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params, **state.g.stats}, gen_cfg)
@@ -254,7 +299,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         task_state_box[0] = state
         return state, metrics
 
-    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), None, save_fn, logger)
+    trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
+                      save_fn, logger)
     return trainer, state
 
 
@@ -320,6 +366,7 @@ def load_spade_checkpoint(path: str, opt=None):
                 spectral="spectral" in opt.teacher_norm_G,
             )
         return load_torch_spade_generator(path, **kwargs)
+    import cat_tpu.core.spade_config  # noqa: F401 — registers the config type
     from cat_tpu.core.config import config_from_json
     from cat_tpu.utils.checkpoint import load_pytree
 
@@ -400,33 +447,11 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     task_state_box = [state]
 
     # evaluation: FID (+mIoU) of generated street photos from val labels
-    evs = []
-    judge = cli.make_fid_judge(opt) if not opt.no_fid else None
-    stats = _real_stats(opt.real_stat_path)
-    if judge or (opt.drn_path and os.path.exists(opt.drn_path)):
-        eval_loader = create_cityscapes_dataloader(
-            opt.dataroot, opt.eval_batch_size, phase="val", shuffle=False,
-            drop_last=False, load_size=opt.load_size, crop_size=opt.crop_size,
-            aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
-            pairing_check=not opt.no_pairing_check,
-        )
-        generate = lambda b: dist.generate_student_raw(task_state_box[0], b)  # noqa: E731
-        if judge and stats:
-            evs.append(FIDEvaluator(
-                generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
-                opt.eval_batch_size, input_key=None,
-                teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
-            ))
-        if opt.drn_path and os.path.exists(opt.drn_path) and os.path.exists(opt.table_path):
-            from cat_tpu.metrics.drn import load_drnseg
-            from cat_tpu.train.evaluation import MIoUEvaluator
-
-            dm, dv = load_drnseg(opt.drn_path)
-            miou = MIoUEvaluator(generate, eval_loader, dm, dv, opt.table_path,
-                                 batch_size=opt.eval_batch_size)
-            miou.input_key = None
-            evs.append(miou)
-    evaluate_fn = combine_evaluators(**{"": evs}) if evs else None
+    evaluate_fn = _spade_evaluators(
+        opt,
+        lambda b: dist.generate_student_raw(task_state_box[0], b),
+        teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
+    )
 
     def save_fn(state, tag):
         ckpt.save_net(save_dir, tag, "G",
@@ -566,11 +591,65 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
 # ---------------------------------------------------------------------------
 
 
+def _profile_eval_sweep_inception(
+    opt, logger, teacher_cfg, teacher_vars, student_cfg, student_vars
+) -> Dict[str, float]:
+    """Final full evaluation of the profile verb (reference
+    profiler.py:154-164: ``evaluate(0, 0, save_image=True)``): sweep the val
+    set, dump input/Sfake/Tfake images to <results_dir>/eval/latest/ (the
+    KID script's input), and report FID (+mIoU on cityscapes BtoA)."""
+    from cat_tpu.models.generator import InceptionGenerator
+    from cat_tpu.train.common import apply_net
+
+    judge = cli.make_fid_judge(opt) if not opt.no_fid else None
+    stats = _real_stats(opt.real_stat_path)
+    spec = cli.transform_spec(opt)
+    eval_loader = create_eval_dataloader(
+        opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec,
+        opt.direction, max_size=opt.num_test,
+    )
+    s_model = InceptionGenerator(student_cfg)
+    t_model = InceptionGenerator(teacher_cfg)
+    gen_s = jax.jit(lambda x: apply_net(
+        s_model, student_vars["params"], student_vars.get("batch_stats", {}),
+        x, train=False)[0])
+    gen_t = jax.jit(lambda x: apply_net(
+        t_model, teacher_vars["params"], teacher_vars.get("batch_stats", {}),
+        x, train=False)[0])
+
+    results_dir = opt.results_dir or opt.log_dir
+    metrics: Dict[str, float] = {}
+    ev = FIDEvaluator(
+        gen_s, eval_loader,
+        judge[0] if judge else None, judge[1] if judge else None, stats,
+        results_dir, opt.eval_batch_size, dump_images=10**9,
+        teacher_generate=gen_t,
+    )
+    m, _ = ev("latest")
+    metrics.update(m)
+    if not opt.no_mIoU:
+        miou_ev = make_miou_evaluator(opt, gen_s, eval_loader)
+        if miou_ev:
+            m, _ = miou_ev("latest")
+            metrics.update(m)
+    dump_dir = os.path.join(results_dir, "eval", "latest")
+    logger.print_info(
+        "evaluation: "
+        + (", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()) or "(no judges)")
+        + f"; images dumped to {dump_dir}"
+    )
+    return metrics
+
+
 def profile_distill(opt) -> Dict[str, Any]:
-    """Prune-latency benchmark + MAC/param accounting + XLA cross-check."""
+    """Prune-latency benchmark + MAC/param accounting + XLA cross-check +
+    full evaluation sweep (reference profiler.py:38-164)."""
     import jax.numpy as jnp
 
     from cat_tpu.models.generator import InceptionGenerator
+
+    if getattr(opt, "distiller", "inception") == "spade":
+        return profile_distill_spade(opt)
 
     logger = Logger(opt.log_dir)
     teacher_norm = cli.norm_config(opt, opt.norm_affine)
@@ -626,20 +705,27 @@ def profile_distill(opt) -> Dict[str, Any]:
         xla_flops = float("nan")
         logger.print_info(f"XLA cost analysis unavailable: {e}")
 
-    # inference latency (reference TestOptions --times, test_options.py)
+    # inference latency (reference TestOptions --times, test_options.py:108-111)
     from cat_tpu.train.common import to_device
 
     student_vars = to_device(student_vars)
     fwd = jax.jit(lambda v, x: jnp.sum(model.apply(v, x)))
     s = fwd(student_vars, x)
     float(s)  # sync
-    reps = 10
+    reps = max(getattr(opt, "times", 10), 1)
     t0 = time.time()
     for _ in range(reps):
         s = fwd(student_vars, x)
     float(s)
     latency_ms = (time.time() - t0) / reps * 1e3
-    logger.print_info(f"student forward latency: {latency_ms:.3f} ms/image (batch 1)")
+    logger.print_info(
+        f"student forward latency: {latency_ms:.3f} ms/image (batch 1, {reps} reps)"
+    )
+
+    # final evaluation sweep with image dumps (reference profiler.py:154-164)
+    metrics = _profile_eval_sweep_inception(
+        opt, logger, teacher_cfg, teacher_vars, student_cfg, student_vars
+    )
 
     return {
         "latency_ms": latency_ms,
@@ -650,6 +736,138 @@ def profile_distill(opt) -> Dict[str, Any]:
         "student_config": student_cfg,
         "student_variables": student_vars,
         "teacher_cfg": teacher_cfg,
+        "metrics": metrics,
+    }
+
+
+def profile_distill_spade(opt) -> Dict[str, Any]:
+    """SPADE/GauGAN profile verb: shrink-latency benchmark, MAC/param
+    accounting, forward latency, and a full FID(+mIoU) evaluation sweep with
+    image dumps (reference profiler.py handles the spade distiller through
+    the same driver; load_pretrained_spade_student at profiler.py:83-89)."""
+    import jax.numpy as jnp
+
+    from cat_tpu.compress.spade import profile_spade_generator, shrink_spade_generator
+    from cat_tpu.data.cityscapes import create_cityscapes_dataloader
+    from cat_tpu.distill.spade_distiller import SPADEDistillHParams, SPADEDistiller
+
+    logger = Logger(opt.log_dir)
+    teacher_cfg, teacher_vars = load_spade_checkpoint(opt.restore_teacher_G_path, opt)
+    h_lat = int(opt.crop_size / opt.aspect_ratio)
+    t_prof = profile_spade_generator(teacher_cfg, h_lat, opt.crop_size)
+    logger.print_info(f"netG teacher FLOPs: {t_prof.macs:,}; params: {t_prof.params:,}")
+
+    prune_mean = float("nan")
+    res = None
+    if opt.target_flops > 0:
+        bounds = PruneBounds(
+            cin_lb=max(opt.prune_cin_lb, 1),
+            cin_ub=opt.prune_cin_ub if opt.prune_cin_ub > 0 else None,
+        )
+        for _ in range(5):  # warmup + 10 timed runs (reference profiler.py:139-149)
+            shrink_spade_generator(teacher_cfg, teacher_vars, opt.target_flops,
+                                   h_lat, opt.crop_size, bounds)
+        times = []
+        for _ in range(10):
+            t0 = time.time()
+            res = shrink_spade_generator(teacher_cfg, teacher_vars,
+                                         opt.target_flops, h_lat,
+                                         opt.crop_size, bounds)
+            times.append(time.time() - t0)
+        prune_mean = sum(times) / len(times)
+        logger.print_info(f"mean pruning time over 10 runs: {prune_mean*1e3:.3f} ms")
+
+    if opt.pretrained_student_G_path:
+        student_cfg, student_vars = load_spade_checkpoint(
+            opt.pretrained_student_G_path, opt
+        )
+    elif res is not None:
+        student_cfg, student_vars = res.config, None
+    else:
+        raise SystemExit(
+            "profile (spade): need --pretrained_student_G_path or --target_flops"
+        )
+
+    s_prof = profile_spade_generator(student_cfg, h_lat, opt.crop_size)
+    logger.print_info(f"netG student FLOPs: {s_prof.macs:,}; params: {s_prof.params:,}")
+
+    hp = SPADEDistillHParams(
+        gan_mode=opt.gan_mode, distill_loss_type=opt.distill_G_loss_type,
+        lambda_vgg=0.0,  # no VGG needed for evaluation
+    )
+    dist = SPADEDistiller(teacher_cfg, student_cfg, hp=hp)
+    dist.label_nc = opt.input_nc
+    dist.contain_dontcare = opt.contain_dontcare_label
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(opt.seed), h_lat, opt.crop_size, teacher_vars
+    )
+    if student_vars is not None:  # swap the loaded student into the state
+        from cat_tpu.train.common import to_device
+
+        student_vars = to_device(student_vars)
+        g_params = dict(state.g.params)
+        g_params["G"] = student_vars["params"]
+        g_stats = {k: v for k, v in student_vars.items() if k != "params"}
+        state = state.replace(g=state.g.replace(params=g_params, stats=g_stats))
+
+    # forward latency on a synthetic semantic map
+    sem = jnp.zeros((1, h_lat, opt.crop_size, student_cfg.semantic_nc), jnp.float32)
+    lat = jax.jit(lambda s: jnp.sum(dist.generate_student(state, s)))
+    float(lat(sem))
+    reps = max(getattr(opt, "times", 10), 1)
+    t0 = time.time()
+    for _ in range(reps):
+        s = lat(sem)
+    float(s)
+    latency_ms = (time.time() - t0) / reps * 1e3
+    logger.print_info(
+        f"student forward latency: {latency_ms:.3f} ms/image (batch 1, {reps} reps)"
+    )
+
+    # evaluation sweep with image dumps
+    judge = cli.make_fid_judge(opt) if not opt.no_fid else None
+    stats = _real_stats(opt.real_stat_path)
+    eval_loader = create_cityscapes_dataloader(
+        opt.dataroot, opt.eval_batch_size, phase="val", shuffle=False,
+        drop_last=False, load_size=opt.load_size, crop_size=opt.crop_size,
+        aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
+        pairing_check=not opt.no_pairing_check, max_size=opt.num_test,
+    )
+    results_dir = opt.results_dir or opt.log_dir
+    ev = FIDEvaluator(
+        lambda b: dist.generate_student_raw(state, b), eval_loader,
+        judge[0] if judge else None, judge[1] if judge else None, stats,
+        results_dir, opt.eval_batch_size, dump_images=10**9,
+        teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
+        input_key=None,
+    )
+    metrics, _ = ev("latest")
+    if not opt.no_mIoU and opt.drn_path and os.path.exists(opt.drn_path) \
+            and os.path.exists(opt.table_path):
+        from cat_tpu.metrics.drn import load_drnseg
+        from cat_tpu.train.evaluation import MIoUEvaluator
+
+        dm, dv = load_drnseg(opt.drn_path)
+        miou = MIoUEvaluator(
+            lambda b: dist.generate_student_raw(state, b), eval_loader, dm, dv,
+            opt.table_path, batch_size=opt.eval_batch_size,
+        )
+        miou.input_key = None
+        m, _ = miou("latest")
+        metrics.update(m)
+    dump_dir = os.path.join(results_dir, "eval", "latest")
+    logger.print_info(
+        "evaluation: "
+        + (", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()) or "(no judges)")
+        + f"; images dumped to {dump_dir}"
+    )
+    return {
+        "latency_ms": latency_ms,
+        "pruning_seconds_mean": prune_mean,
+        "student_macs": s_prof.macs,
+        "student_params": s_prof.params,
+        "student_config": student_cfg,
+        "metrics": metrics,
     }
 
 
@@ -659,6 +877,7 @@ def profile_main(argv=None):
     )
     cli.base_arguments(parser)
     cli.distill_arguments(parser)
+    cli.test_arguments(parser)
     opt = parser.parse_args(argv)
     cli.print_options(opt, parser)
     profile_distill(opt)
@@ -679,21 +898,51 @@ def export_main(argv=None):
 
     from cat_tpu.export import export_stablehlo, export_tflite
 
-    teacher_norm = cli.norm_config(opt, opt.norm_affine)
-    if opt.pretrained_student_G_path:
-        student_cfg, student_vars = cli.load_generator_checkpoint(
-            opt.pretrained_student_G_path, teacher_norm
-        )
+    if getattr(opt, "distiller", "inception") == "spade":
+        # GauGAN student export (reference onnx_exporter.py is
+        # generator-agnostic; scripts/gaugan/cityscapes/onnx_export_*.sh)
+        import jax.numpy as jnp
+
+        if opt.pretrained_student_G_path:
+            student_cfg, student_vars = load_spade_checkpoint(
+                opt.pretrained_student_G_path, opt
+            )
+        else:
+            from cat_tpu.compress.spade import shrink_spade_generator
+            from cat_tpu.models.spade import SPADEGenerator
+
+            teacher_cfg, teacher_vars = load_spade_checkpoint(
+                opt.restore_teacher_G_path, opt
+            )
+            h_lat = int(opt.crop_size / opt.aspect_ratio)
+            res = shrink_spade_generator(
+                teacher_cfg, teacher_vars, opt.target_flops, h_lat,
+                opt.crop_size, PruneBounds(cin_lb=max(opt.prune_cin_lb, 1)),
+            )
+            student_cfg = res.config
+            # SPADE shrink is architecture-only (weights re-init) —
+            # initialise fresh parameters for the artifact
+            model = SPADEGenerator(student_cfg)
+            student_vars = model.init(
+                jax.random.PRNGKey(opt.seed),
+                jnp.zeros((1, h_lat, opt.crop_size, student_cfg.semantic_nc)),
+            )
     else:
-        teacher_cfg, teacher_vars = cli.load_generator_checkpoint(
-            opt.restore_teacher_G_path, teacher_norm
-        )
-        res = shrink_generator(
-            teacher_cfg, teacher_vars, opt.target_flops,
-            opt.crop_size, opt.crop_size,
-            PruneBounds(cin_lb=max(opt.prune_cin_lb, 1)),
-        )
-        student_cfg, student_vars = res.config, res.variables
+        teacher_norm = cli.norm_config(opt, opt.norm_affine)
+        if opt.pretrained_student_G_path:
+            student_cfg, student_vars = cli.load_generator_checkpoint(
+                opt.pretrained_student_G_path, teacher_norm
+            )
+        else:
+            teacher_cfg, teacher_vars = cli.load_generator_checkpoint(
+                opt.restore_teacher_G_path, teacher_norm
+            )
+            res = shrink_generator(
+                teacher_cfg, teacher_vars, opt.target_flops,
+                opt.crop_size, opt.crop_size,
+                PruneBounds(cin_lb=max(opt.prune_cin_lb, 1)),
+            )
+            student_cfg, student_vars = res.config, res.variables
 
     path = opt.export_path or os.path.join(
         opt.log_dir, f"student.{opt.export_format}"

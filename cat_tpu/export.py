@@ -21,17 +21,35 @@ from cat_tpu.core.config import InceptionGeneratorConfig
 from cat_tpu.models.generator import InceptionGenerator
 
 
-def _forward_fn(cfg: InceptionGeneratorConfig, variables: Dict):
-    model = InceptionGenerator(cfg)
+def _forward_fn(cfg, variables: Dict):
+    """(fn, per-sample input shape) for any registered generator config.
+
+    Mirrors the reference exporter's generator-agnosticism
+    (onnx_exporter.py:134-163 exports whatever netG_student is): inception
+    students take an RGB image; SPADE students take the one-hot semantic map
+    (+edges) at the latent aspect ratio."""
+    from cat_tpu.core.spade_config import SPADEGeneratorConfig
+
+    if isinstance(cfg, SPADEGeneratorConfig):
+        from cat_tpu.models.spade import SPADEGenerator
+
+        model = SPADEGenerator(cfg)
+        h = int(cfg.crop_size / cfg.aspect_ratio)
+        shape = (h, cfg.crop_size, cfg.semantic_nc)
+    elif isinstance(cfg, InceptionGeneratorConfig):
+        model = InceptionGenerator(cfg)
+        shape = (None, None, cfg.input_nc)  # height/width supplied by caller
+    else:
+        raise NotImplementedError(f"export for config type {type(cfg).__name__}")
 
     def fn(x):
         return model.apply(variables, x)
 
-    return fn
+    return fn, shape
 
 
 def export_stablehlo(
-    cfg: InceptionGeneratorConfig,
+    cfg,
     variables: Dict,
     height: int,
     width: int,
@@ -41,12 +59,13 @@ def export_stablehlo(
     """Serialise the student forward as StableHLO with a symbolic batch."""
     from jax import export as jexport
 
-    fn = _forward_fn(cfg, variables)
+    fn, shape = _forward_fn(cfg, variables)
+    h, w, c = shape[0] or height, shape[1] or width, shape[2]
     if dynamic_batch:
         (batch,) = jexport.symbolic_shape("b")
-        spec = jax.ShapeDtypeStruct((batch, height, width, cfg.input_nc), jnp.float32)
+        spec = jax.ShapeDtypeStruct((batch, h, w, c), jnp.float32)
     else:
-        spec = jax.ShapeDtypeStruct((1, height, width, cfg.input_nc), jnp.float32)
+        spec = jax.ShapeDtypeStruct((1, h, w, c), jnp.float32)
     exported = jexport.export(jax.jit(fn))(spec)
     data = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -63,7 +82,7 @@ def load_stablehlo(path: str):
 
 
 def export_tflite(
-    cfg: InceptionGeneratorConfig,
+    cfg,
     variables: Dict,
     height: int,
     width: int,
@@ -76,12 +95,11 @@ def export_tflite(
     except ImportError:
         return None
 
-    fn = _forward_fn(cfg, variables)
+    fn, shape = _forward_fn(cfg, variables)
+    h, w, c = shape[0] or height, shape[1] or width, shape[2]
     tf_fn = tf.function(
         jax2tf.convert(fn, with_gradient=False),
-        input_signature=[
-            tf.TensorSpec([1, height, width, cfg.input_nc], tf.float32)
-        ],
+        input_signature=[tf.TensorSpec([1, h, w, c], tf.float32)],
         autograph=False,
     )
     converter = tf.lite.TFLiteConverter.from_concrete_functions(

@@ -86,12 +86,17 @@ def calculate_frechet_distance(
     diff = mu1 - mu2
     covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
     if not np.isfinite(covmean).all():
+        print(
+            "fid calculation produces singular product; "
+            f"adding {eps} to diagonal of cov estimates"
+        )
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-            m = np.max(np.abs(covmean.imag))
-            raise ValueError(f"Imaginary component {m}")
+            # reference semantics (fid_score.py:255-270): warn, keep the
+            # real part — do NOT raise
+            print("Warning: the fid may be incorrect!")
         covmean = covmean.real
     return float(
         diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)

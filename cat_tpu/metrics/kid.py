@@ -24,7 +24,10 @@ def polynomial_kernel(
     gamma: Optional[float] = None,
     coef0: float = 1.0,
 ) -> np.ndarray:
-    y = x if y is None else y
+    # float64 like the reference's sklearn polynomial_kernel (large
+    # activations cubed overflow float32)
+    x = np.asarray(x, np.float64)
+    y = x if y is None else np.asarray(y, np.float64)
     if gamma is None:
         gamma = 1.0 / x.shape[1]
     return (gamma * (x @ y.T) + coef0) ** degree

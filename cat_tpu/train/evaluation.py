@@ -42,6 +42,10 @@ class FIDEvaluator:
     """Generator sweep + FID vs cached stats; optionally dumps images.
 
     ``generate`` maps a [-1,1] NHWC input batch to generated images.
+    ``inception_model``/``real_stats`` may be None: the sweep still runs and
+    dumps input/Sfake/Tfake(/real) images — the reference profile verb's
+    save_image=True contract (profiler.py:154-164) holds even when the FID
+    judge weights are unavailable — and the FID metric is simply omitted.
     """
 
     def __init__(
@@ -50,7 +54,7 @@ class FIDEvaluator:
         eval_loader,
         inception_model,
         inception_variables,
-        real_stats: Dict[str, np.ndarray],
+        real_stats: Optional[Dict[str, np.ndarray]],
         log_dir: Optional[str] = None,
         eval_batch_size: int = 32,
         name: str = "fid",
@@ -107,7 +111,14 @@ class FIDEvaluator:
                     save_image(tensor2im(fake[j]), os.path.join(save_dir, "Sfake" if tfake is not None else "fake", f"{base}.png"))
                     if tfake is not None:
                         save_image(tensor2im(tfake[j]), os.path.join(save_dir, "Tfake", f"{base}.png"))
+                    if self.input_key and "B" in batch:
+                        # aligned ground truth (reference dumps 'real' PNGs,
+                        # inception_distiller.py:238-243)
+                        save_image(tensor2im(batch["B"][j]),
+                                   os.path.join(save_dir, "real", f"{base}.png"))
                     dumped += 1
+        if self.inception_model is None or self.real_stats is None:
+            return {}, {}
         fakes = np.concatenate(fakes, axis=0)
         fid = get_fid(
             fakes,

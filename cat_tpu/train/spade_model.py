@@ -278,3 +278,15 @@ class SPADETask:
 
     def generate(self, state: GANTrainState, sem: jnp.ndarray) -> jnp.ndarray:
         return self._generate(state.g.params, state.g.stats, sem)
+
+    def generate_raw(self, state: GANTrainState, batch: Dict) -> jnp.ndarray:
+        """Raw label/instance batch -> image (preprocessing inside jit);
+        feeds the FID/mIoU evaluators during teacher training (reference
+        spade_model.evaluate_model:217-288)."""
+        if not hasattr(self, "_gen_raw"):
+            def fn(params, stats, batch):
+                return self._gen_eval(params, stats, self._semantics(batch))
+
+            self._gen_raw = jax.jit(fn)
+        device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        return self._gen_raw(state.g.params, state.g.stats, device_batch)

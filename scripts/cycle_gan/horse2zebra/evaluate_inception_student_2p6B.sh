@@ -12,4 +12,4 @@ python profile.py --dataroot database/horse2zebra \
   --prune_cin_lb 16 --target_flops 2.6e9
 # KID (reference runs metric/kid_score.py here)
 python tools/kid_score.py --real database/horse2zebra/valB \
-  --fake logs/cycle_gan/horse2zebra/inception/student/2p6B/eval/latest/Sfake || true
+  --fake logs/cycle_gan/horse2zebra/inception/student/2p6B/eval/eval/latest/Sfake || true

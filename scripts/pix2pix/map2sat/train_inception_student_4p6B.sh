@@ -9,7 +9,7 @@ python distill.py --dataroot database/maps \
   --nepochs 500 --nepochs_decay 1000 \
   --teacher_ngf 64 --student_ngf 32 \
   --eval_batch_size 2 --batch_size 80 \
-  --norm_affine --norm_affine_D \
+  --norm batch --norm_affine --norm_affine_D --norm_track_running_stats \
   --channels_reduction_factor 6 --kernel_sizes 1 3 5 \
   --direction BtoA \
   --lambda_distill 1.3 \

@@ -21,6 +21,8 @@ def load_dir(path, size=None):
         if size:
             img = img.resize(size, Image.BICUBIC)
         ims.append(np.asarray(img, dtype=np.uint8))
+    if not ims:
+        raise SystemExit(f"no images found in {path!r}")
     return np.stack(ims)
 
 
