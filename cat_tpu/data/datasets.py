@@ -165,6 +165,7 @@ def create_dataloader(
     seed: Optional[int] = None,
     drop_last: bool = True,
     load_in_memory: bool = False,
+    num_workers: int = 4,
 ) -> DataLoader:
     if dataset_mode == "aligned":
         ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed,
@@ -177,7 +178,7 @@ def create_dataloader(
     else:
         raise NotImplementedError(f"dataset mode [{dataset_mode}] not implemented")
     return DataLoader(ds, batch_size, shuffle=not serial_batches, seed=seed,
-                      drop_last=drop_last)
+                      drop_last=drop_last, num_workers=num_workers)
 
 
 def create_eval_dataloader(

@@ -1,17 +1,19 @@
-"""Batching loader with background prefetch.
+"""Batching loader with multi-worker decode and device prefetch.
 
-Replaces torch's DataLoader (reference data/__init__.py:68-98).  Decoding
-runs in a thread pool while the accelerator computes; batches are collated
-to contiguous NHWC numpy arrays ready for device_put.  Shapes are static
+Replaces torch's DataLoader (reference data/__init__.py:68-98, num_threads
+workers).  Decoding runs in a thread pool (PIL releases the GIL during
+JPEG/PNG decode) while the accelerator computes; batches are collated to
+contiguous NHWC numpy arrays; ``device_prefetch`` overlaps the host->HBM
+copy of the next batches with the running step.  Shapes are static
 (drop_last for training) so every step hits the same compiled program.
 """
 
 from __future__ import annotations
 
-import queue
+import collections
 import random
-import threading
-from typing import Any, Dict, Iterator, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -36,12 +38,28 @@ class DataLoader:
         seed: Optional[int] = None,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_workers: int = 4,
+        process_shard: Optional[tuple] = None,
     ):
+        """``process_shard=(process_index, process_count)`` enables
+        multi-host feeding: ``batch_size`` is the GLOBAL batch; every host
+        builds the same seeded index order but decodes only its own
+        contiguous slice of each batch (cat_tpu/parallel/multihost.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if batch_size % pcount:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{pcount} processes"
+                )
+            assert 0 <= pid < pcount
         self.rng = random.Random(seed)
 
     def __len__(self):
@@ -60,33 +78,58 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_shard is not None:
+            pid, pcount = self.process_shard
+            per_host = self.batch_size // pcount
+            batches = [
+                b[pid * per_host : (pid + 1) * per_host]
+                for b in batches
+                if len(b) == self.batch_size  # partial tails can't split
+            ]
         return batches
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = self._index_batches()
-        if self.prefetch <= 0:
+        if self.prefetch <= 0 or self.num_workers <= 0:
             for b in batches:
                 yield collate([self.dataset[i] for i in b])
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        # per-sample decode fan-out across the pool; up to `prefetch`
+        # batches of futures stay in flight ahead of the consumer
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window: collections.deque = collections.deque()
+            it = iter(batches)
 
-        def worker():
-            try:
-                for b in batches:
-                    q.put(collate([self.dataset[i] for i in b]))
-            except Exception as e:  # surface decode errors to the consumer
-                q.put(e)
-            finally:
-                q.put(sentinel)
+            def submit(b):
+                return [pool.submit(self.dataset.__getitem__, i) for i in b]
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+            for b in batches[: self.prefetch]:
+                window.append(submit(b))
+            for b in batches[self.prefetch:]:
+                ready = window.popleft()
+                window.append(submit(b))
+                yield collate([f.result() for f in ready])
+            while window:
+                yield collate([f.result() for f in window.popleft()])
+
+
+def device_prefetch(
+    iterator: Iterator[Dict[str, Any]],
+    put_fn: Callable[[Dict[str, Any]], Any],
+    depth: int = 2,
+) -> Iterator[Any]:
+    """Overlap host->device transfer with compute.
+
+    ``put_fn`` (e.g. jax.device_put or a mesh shard_batch) dispatches
+    asynchronously; keeping ``depth`` batches in flight means the H2D copy
+    of batch N+1 runs while the step consumes batch N.  Replaces torch's
+    pin_memory/CUDA-stream overlap (the reference gets this from
+    DataLoader+DataParallel implicitly)."""
+    buf: collections.deque = collections.deque()
+    for item in iterator:
+        buf.append(put_fn(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

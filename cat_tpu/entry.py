@@ -39,14 +39,15 @@ def _mesh_or_none(opt):
 
 
 def _place(state, aux, mesh):
-    """Replicate state/aux over the mesh; return a per-batch shard fn.
+    """Replicate state/aux over the mesh; return a per-batch placement fn.
 
     Data parallelism is transparent to the tasks: params replicated, batch
     sharded on the leading axis, XLA emits the collectives (see
-    cat_tpu/parallel/mesh.py and tests/test_sharding.py).
+    cat_tpu/parallel/mesh.py and tests/test_sharding.py).  The returned fn
+    feeds the Trainer's device_prefetch so H2D copies overlap compute.
     """
     if mesh is None:
-        return state, aux, (lambda b: b)
+        return state, aux, jax.device_put
     from cat_tpu.parallel.mesh import replicate, shard_batch
 
     state = replicate(state, mesh)
@@ -98,6 +99,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         phase=opt.phase, direction=opt.direction,
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
         seed=opt.seed, load_in_memory=opt.load_in_memory,
+        num_workers=opt.num_threads,
     )
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     gen_cfg = cli.generator_config(opt, opt.ngf)
@@ -144,12 +146,12 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         task_state_box = [state]
 
         def step_fn(state, batch, lr):
-            state, metrics = task.train_step(state, shard(batch), lr)
+            state, metrics = task.train_step(state, batch, lr)
             task_state_box[0] = state
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger)
+                          evaluate_fn, save_fn, logger, device_put_fn=shard)
         return trainer, state
 
     if opt.model == "cycle_gan":
@@ -194,12 +196,12 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             ckpt.save_train_state(save_dir, tag, state)
 
         def step_fn(state, batch, lr):
-            state, metrics = task.train_step(state, shard(batch), lr)
+            state, metrics = task.train_step(state, batch, lr)
             task_state_box[0] = state
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger)
+                          evaluate_fn, save_fn, logger, device_put_fn=shard)
         return trainer, state
 
     if opt.model == "spade":
@@ -300,7 +302,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger)
+                      save_fn, logger, device_put_fn=jax.device_put)
     return trainer, state
 
 
@@ -464,7 +466,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger)
+                      save_fn, logger, device_put_fn=jax.device_put)
     return trainer, state
 
 
@@ -478,6 +480,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         phase=opt.phase, direction=opt.direction,
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
         seed=opt.seed, load_in_memory=opt.load_in_memory,
+        num_workers=opt.num_threads,
     )
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
@@ -577,12 +580,12 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
-        state, metrics = dist.train_step(state, teacher_vars, shard(batch), lr)
+        state, metrics = dist.train_step(state, teacher_vars, batch, lr)
         task_state_box[0] = state
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                      evaluate_fn, save_fn, logger)
+                      evaluate_fn, save_fn, logger, device_put_fn=shard)
     return trainer, state
 
 

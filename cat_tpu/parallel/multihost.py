@@ -1,0 +1,97 @@
+"""Multi-host (DCN) scaffolding: process init + per-host data feeding.
+
+SURVEY.md §2.1 names multi-host as the rebuild's obligation beyond the
+reference (which only ever ran single-process DataParallel): the SPMD
+program is unchanged — the mesh just spans every host's devices, gradients
+ride ICI within a host and DCN across hosts, and each host feeds only its
+own shard of the global batch.
+
+Usage on a v4-8 pod slice (one process per host):
+
+    from cat_tpu.parallel import multihost
+    multihost.initialize()                   # TPU pods: args auto-detected
+    mesh = multihost.global_mesh()           # all devices on all hosts
+    loader = create_dataloader(..., process_shard=multihost.process_shard())
+    batch = multihost.shard_host_batch(local_batch, mesh)  # global array
+
+CPU testing: pass coordinator/num_processes/process_id explicitly (see
+tests/test_multihost.py, which runs a real 2-process jax.distributed
+cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cat_tpu.parallel.mesh import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Tuple[int, ...]] = None,
+) -> None:
+    """jax.distributed.initialize with idempotence.
+
+    On TPU pods all arguments are auto-detected from the environment; on
+    CPU/GPU clusters pass them explicitly.  Safe to call when already
+    initialized or when running single-process (num_processes == 1)."""
+    if num_processes == 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over every device of every participating host."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def process_shard() -> Tuple[int, int]:
+    """(process_index, process_count) for per-host dataset sharding."""
+    return jax.process_index(), jax.process_count()
+
+
+def shard_host_batch(local_batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Assemble a GLOBAL batch-sharded array from this host's local slice.
+
+    Each host passes its own (global_batch / process_count)-sized arrays;
+    the result is a jax.Array with global shape whose shards live on the
+    local devices — no cross-host data movement."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            return x
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, local_batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate host-identical values over a multi-host mesh.
+
+    Unlike a plain device_put(P()) — which would need cross-host transfers —
+    every process supplies its own (identical, e.g. same-seed-initialized)
+    copy and only feeds its local devices.  The caller must guarantee the
+    values agree across hosts (same PRNG seeds / same checkpoint)."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(put, tree)

@@ -36,7 +36,9 @@ def init_on_cpu(fn, *args, **kwargs):
 
 
 def to_device(tree: Any, device=None) -> Any:
-    device = device or jax.devices()[0]
+    # local_devices: under multi-host, jax.devices()[0] may belong to
+    # another process and is not addressable from here
+    device = device or jax.local_devices()[0]
     return jax.tree.map(lambda x: jax.device_put(x, device), tree)
 
 

@@ -53,13 +53,18 @@ class Trainer:
         evaluate_fn: Optional[Callable] = None,
         save_fn: Optional[Callable] = None,
         logger: Optional[Logger] = None,
+        device_put_fn: Optional[Callable] = None,
     ):
+        """``device_put_fn`` (jax.device_put or a mesh shard fn) enables
+        host->device double buffering: the next batch's transfer overlaps
+        the running step (data/loader.device_prefetch)."""
         self.step_fn = step_fn
         self.dataloader = dataloader
         self.cfg = cfg
         self.evaluate_fn = evaluate_fn
         self.save_fn = save_fn
         self.logger = logger or Logger(cfg.log_dir)
+        self.device_put_fn = device_put_fn
 
     def _save(self, state, tag: str):
         if self.save_fn is not None:
@@ -100,9 +105,14 @@ class Trainer:
                 nepochs_decay=cfg.nepochs_decay,
                 lr_decay_iters=cfg.lr_decay_iters,
             )
-            for batch in self.dataloader:
+            batch_iter = (_device_batch(b) for b in self.dataloader)
+            if self.device_put_fn is not None:
+                from cat_tpu.data.loader import device_prefetch
+
+                batch_iter = device_prefetch(batch_iter, self.device_put_fn)
+            for batch in batch_iter:
                 iter_start = time.time()
-                state, metrics = self.step_fn(state, _device_batch(batch), lr)
+                state, metrics = self.step_fn(state, batch, lr)
                 if total_iter % cfg.print_freq == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     self.logger.print_current_errors(

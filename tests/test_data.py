@@ -75,6 +75,32 @@ def test_loader_drop_last_and_prefetch(tmp_path):
     assert len(list(loader)) == 3
 
 
+def test_loader_multiworker_matches_serial(tmp_path):
+    """Thread-pool decode must preserve batch order and contents."""
+    rng = np.random.RandomState(0)
+    write_images(tmp_path / "imgs", 9, rng=rng)
+    spec = TransformSpec(preprocess="none", no_flip=True)
+    ds = SingleDataset(str(tmp_path / "imgs"), "", spec)
+    serial = list(DataLoader(ds, 2, shuffle=False, num_workers=0))
+    pooled = list(DataLoader(ds, 2, shuffle=False, num_workers=4, prefetch=3))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a["A"], b["A"])
+        assert a["A_paths"] == b["A_paths"]
+
+
+def test_device_prefetch_order_and_depth(tmp_path):
+    from cat_tpu.data.loader import device_prefetch
+
+    puts = []
+    out = []
+    it = iter([{"x": np.full((1,), i)} for i in range(5)])
+    for b in device_prefetch(it, lambda d: (puts.append(len(puts)), d)[1], depth=2):
+        out.append(int(b["x"][0]))
+    assert out == [0, 1, 2, 3, 4]
+    assert len(puts) == 5  # every batch went through put_fn exactly once
+
+
 def test_eval_loader_no_flip_single_mode(tmp_path):
     rng = np.random.RandomState(0)
     write_images(tmp_path / "db" / "valA", 2, rng=rng)
