@@ -79,6 +79,7 @@ def build():
         # norm stats / losses); 2x the fp32 batch-8 throughput on v5e
         compute_dtype=COMPUTE_DTYPE,
         fused_norms=os.environ.get("BENCH_FUSED", "0") == "1",
+        packed_blocks=os.environ.get("BENCH_PACKED", "1") == "1",
     )
     dist = InceptionDistiller(teacher_cfg, res.config, hp=hp)
     state, teacher_vars = dist.init_state(

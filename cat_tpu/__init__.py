@@ -25,3 +25,34 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (importing cat_tpu is the opt-in).
+
+    Compiles over the remote-TPU tunnel cost seconds to minutes; the
+    persistent cache makes every re-run of an unchanged step free.  Pure
+    config — touches no device, so it is safe before platform selection
+    (tests still force the CPU backend afterwards).  Opt out with
+    CAT_TPU_NO_COMPILATION_CACHE=1; override the location with
+    JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    if os.environ.get("CAT_TPU_NO_COMPILATION_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", "jax"),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache config break an import
+        pass
+
+
+_enable_compilation_cache()

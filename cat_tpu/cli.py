@@ -41,6 +41,9 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--output_nc", type=int, default=3)
     p.add_argument("--norm", type=str, default="instance",
                    choices=["instance", "batch", "syncbatch", "none"])
+    p.add_argument("--packed_blocks", type=int, default=1, choices=[0, 1],
+                   help="evaluate inception blocks with branch-packed convs "
+                        "(identical math and parameter tree; wide-MXU execution)")
     p.add_argument("--init_type", type=str, default="normal",
                    choices=["normal", "xavier", "kaiming", "orthogonal"])
     p.add_argument("--init_gain", type=float, default=0.02)
@@ -221,6 +224,12 @@ def make_vgg(opt):
 def distill_arguments(parser: argparse.ArgumentParser):
     p = train_arguments(parser)
     spade_arguments(p)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="distill-step compute dtype (f32 master weights; "
+                        "bfloat16 runs convs single-pass on the MXU)")
+    p.add_argument("--fused_norms", action="store_true",
+                   help="route affine instance-norm+relu through the Pallas kernel")
     p.add_argument("--distiller", type=str, default="inception",
                    choices=["inception", "spade"])
     p.add_argument("--teacher_netG", type=str, default="inception_9blocks")

@@ -59,6 +59,9 @@ class DistillHParams:
     compute_dtype: str = "float32"
     # route affine instance-norm+relu through the single-pass Pallas kernel
     fused_norms: bool = False
+    # evaluate inception blocks with branch-packed convolutions (identical
+    # math + param tree; full-width MXU work instead of ~42-lane branches)
+    packed_blocks: bool = True
 
 
 class Adaptor(nn.Module):
@@ -92,10 +95,12 @@ class InceptionDistiller:
         self.disc_cfg = disc_cfg
         self.hp = hp
         self.netG_teacher = InceptionGenerator(
-            teacher_cfg, hp.init_type, hp.init_gain, fused_norms=hp.fused_norms
+            teacher_cfg, hp.init_type, hp.init_gain,
+            fused_norms=hp.fused_norms, packed_blocks=hp.packed_blocks,
         )
         self.netG_student = InceptionGenerator(
-            student_cfg, hp.init_type, hp.init_gain, fused_norms=hp.fused_norms
+            student_cfg, hp.init_type, hp.init_gain,
+            fused_norms=hp.fused_norms, packed_blocks=hp.packed_blocks,
         )
         self.netD = NLayerDiscriminator(disc_cfg, hp.init_type, hp.init_gain)
         self.netA = Adaptor(features=teacher_cfg.bottleneck)

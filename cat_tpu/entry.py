@@ -114,6 +114,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             gan_mode=opt.gan_mode, recon_loss_type=opt.recon_loss_type,
             lambda_gan=opt.lambda_gan, lambda_recon=opt.lambda_recon,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
+            packed_blocks=bool(opt.packed_blocks),
         )
         d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
         task = Pix2PixTask(gen_cfg, d_cfg, hp)
@@ -161,6 +162,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             gan_mode=opt.gan_mode, lambda_A=opt.lambda_A, lambda_B=opt.lambda_B,
             lambda_identity=opt.lambda_identity, pool_size=opt.pool_size,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
+            packed_blocks=bool(opt.packed_blocks),
         )
         d_cfg = cli.discriminator_config(opt, opt.output_nc)
         task = CycleGANTask(gen_cfg, d_cfg, hp)
@@ -538,6 +540,9 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         init_type=opt.init_type,
         init_gain=opt.init_gain,
         mapping_layers=mapping,
+        compute_dtype=opt.compute_dtype,
+        fused_norms=opt.fused_norms,
+        packed_blocks=bool(opt.packed_blocks),
     )
     dist = InceptionDistiller(teacher_cfg, student_cfg, hp=hp)
     state, teacher_vars = dist.init_state(

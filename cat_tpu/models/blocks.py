@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -96,6 +97,72 @@ class ConvNormAct(nn.Module):
         return activation(self.act, self.act_slope)(x)
 
 
+class _PConv(nn.Module):
+    """Parameter-only mirror of an ``nn.Conv`` (same names/shapes/inits)."""
+
+    shape: Tuple[int, int, int, int]
+    use_bias: bool = True
+    kernel_init: any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape, jnp.float32)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _PNorm(nn.Module):
+    """Parameter-only mirror of an affine ``Norm2d`` (scale/bias)."""
+
+    features: int
+    scale_init: any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", self.scale_init, (self.features,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
+class _PConvNorm(nn.Module):
+    """Parameter tree mirror of ``ConvNormAct`` (conv + optional norm)."""
+
+    shape: Tuple[int, int, int, int]
+    use_bias: bool
+    affine: bool
+    kernel_init: any
+    scale_init: any
+
+    @nn.compact
+    def __call__(self):
+        k, b = _PConv(self.shape, self.use_bias, self.kernel_init, name="conv")()
+        if self.affine:
+            s, nb = _PNorm(self.shape[-1], self.scale_init, name="norm")()
+        else:
+            s = nb = None
+        return k, b, s, nb
+
+
+def center_pad_kernel(w: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Zero-pad an (kh,kw,ci,co) HWIO kernel to (k,k,ci,co), centred.
+
+    A centred zero-padded kernel applied VALID over ``spatial_pad(x, (k-1)//2)``
+    computes exactly the original smaller conv, for any padding mode: the
+    interior of a reflect/edge/zero pad of width p is the same pad of width
+    p-d.
+    """
+    kh = w.shape[0]
+    d = (k - kh) // 2
+    if d == 0:
+        return w
+    return jnp.pad(w, ((d, d), (d, d), (0, 0), (0, 0)))
+
+
 class InceptionBlock(nn.Module):
     """Multi-branch inverted-residual block.
 
@@ -113,6 +180,16 @@ class InceptionBlock(nn.Module):
     branch (``res{i}/conv_in/norm``, ``dw{i}/conv_in/norm``) carries the
     scaling factors that drive channel pruning (reference:
     inception_modules.py:194-228, utils/prune.py:5-61).
+
+    ``packed=True`` (instance/none norm only) evaluates the block with all
+    branch convolutions packed into three wide convolutions — one for every
+    branch's "in" conv (kernels zero-padded to the largest k and concatenated
+    on C_out), one grouped conv for the depthwise stage, one for every
+    branch's "out" conv (concatenated on C_in, so the conv itself emits the
+    branch sum).  Identical math and identical parameter tree; skinny
+    per-branch convs (mid≈42 of 128 MXU lanes) become full-width MXU work
+    and 6 reads of ``x`` become one.  This is the "fused multi-branch block"
+    SURVEY §7 calls for — done with packed XLA convs instead of a kernel.
     """
 
     cfg: InceptionBlockConfig
@@ -125,6 +202,7 @@ class InceptionBlock(nn.Module):
     init_gain: float = 0.02
     axis_name: Optional[str] = None
     fused_norms: bool = False
+    packed: bool = False
 
     def _cna(self, features, kernel, groups=1, pad=0, name=None):
         return ConvNormAct(
@@ -148,6 +226,8 @@ class InceptionBlock(nn.Module):
         cfg = self.cfg
         if cfg.is_empty:
             return x
+        if self.packed and self.norm.kind in ("instance", "none"):
+            return self._packed_call(x, train)
 
         conv_init = conv_kernel_init(self.init_type, self.init_gain)
         dropout = nn.Dropout(rate=self.dropout_rate, deterministic=not train)
@@ -190,6 +270,120 @@ class InceptionBlock(nn.Module):
         total = Norm2d(
             self.norm,
             scale_init=norm_scale_init(self.norm, self.init_gain),
+            axis_name=self.axis_name,
+            name="pw_norm",
+        )(total, train=train)
+        return x + total
+
+    # ------------------------------------------------------------- packed
+
+    def _inorm_act(self, y, scale, bias, act=True):
+        """Norm2d's instance-norm numerics on a packed tensor (+activation)."""
+        yf = y.astype(jnp.float32)
+        if self.norm.kind == "instance":
+            m = jnp.mean(yf, axis=(1, 2), keepdims=True)
+            v = jnp.mean(jnp.square(yf), axis=(1, 2), keepdims=True) - jnp.square(m)
+            yf = (yf - m) * jax.lax.rsqrt(v + self.norm.eps)
+        if scale is not None:
+            yf = yf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if act:
+            yf = activation(self.active_fn)(yf)
+        return yf.astype(y.dtype)
+
+    def _packed_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        cin, dim = x.shape[-1], cfg.dim
+        conv_init = conv_kernel_init(self.init_type, self.init_gain)
+        scale_init = norm_scale_init(self.norm, self.init_gain)
+        affine = self.norm.kind == "instance" and self.norm.affine
+        res, dw = list(cfg.active_res), list(cfg.active_dw)
+        kmax_in = max([k for _, _, k in res] + [1])
+        kmax_dw = max([k for _, _, k in dw] + [1])
+        cdt = x.dtype
+
+        def dn(t):
+            return t.astype(cdt)
+
+        # ---- declare params (identical tree to the unpacked path) ----
+        pin, pout, pmid = [], [], []
+        for i, mid, k in res:
+            pin.append(
+                _PConvNorm((k, k, cin, mid), self.use_bias, affine, conv_init,
+                           scale_init, name=f"res{i}_in")()
+            )
+            pout.append(
+                _PConv((k, k, mid, dim), self.use_bias, conv_init,
+                       name=f"res{i}_out")()
+            )
+        for i, mid, k in dw:
+            pin.append(
+                _PConvNorm((1, 1, cin, mid), self.use_bias, affine, conv_init,
+                           scale_init, name=f"dw{i}_in")()
+            )
+            pmid.append(
+                _PConvNorm((k, k, 1, mid), self.use_bias, affine, conv_init,
+                           scale_init, name=f"dw{i}_mid")()
+            )
+            pout.append(
+                _PConv((1, 1, mid, dim), self.use_bias, conv_init,
+                       name=f"dw{i}_out")()
+            )
+
+        dims = ("NHWC", "HWIO", "NHWC")
+        dropout = nn.Dropout(rate=self.dropout_rate, deterministic=not train)
+
+        # ---- packed IN conv: every branch's first conv in one pass over x ----
+        w_in = jnp.concatenate([center_pad_kernel(dn(k), kmax_in) for k, *_ in pin],
+                               axis=-1)
+        u = jax.lax.conv_general_dilated(
+            spatial_pad(x, (kmax_in - 1) // 2, self.padding_type),
+            w_in, (1, 1), "VALID", dimension_numbers=dims,
+        )
+        if self.use_bias:
+            u = u + jnp.concatenate([dn(b) for _, b, *_ in pin])
+        u = self._inorm_act(
+            u,
+            jnp.concatenate([s for _, _, s, _ in pin]) if affine else None,
+            jnp.concatenate([nb for _, _, _, nb in pin]) if affine else None,
+        )
+        n_res = sum(mid for _, mid, _ in res)
+        h_res, g_dw = u[..., :n_res], u[..., n_res:]
+
+        # ---- packed depthwise stage (per-channel kernels, one grouped conv) ----
+        if dw:
+            w_dw = jnp.concatenate(
+                [center_pad_kernel(dn(k), kmax_dw) for k, *_ in pmid], axis=-1
+            )
+            gm = jax.lax.conv_general_dilated(
+                spatial_pad(g_dw, (kmax_dw - 1) // 2, self.padding_type),
+                w_dw, (1, 1), "VALID", dimension_numbers=dims,
+                feature_group_count=g_dw.shape[-1],
+            )
+            if self.use_bias:
+                gm = gm + jnp.concatenate([dn(b) for _, b, *_ in pmid])
+            gm = self._inorm_act(
+                gm,
+                jnp.concatenate([s for _, _, s, _ in pmid]) if affine else None,
+                jnp.concatenate([nb for _, _, _, nb in pmid]) if affine else None,
+            )
+            packed = jnp.concatenate([dropout(h_res), dropout(gm)], axis=-1)
+        else:
+            packed = dropout(h_res)
+
+        # ---- packed OUT conv: emits the branch sum directly ----
+        w_out = jnp.concatenate(
+            [center_pad_kernel(dn(k), kmax_in) for k, *_ in pout], axis=-2
+        )
+        total = jax.lax.conv_general_dilated(
+            spatial_pad(packed, (kmax_in - 1) // 2, self.padding_type),
+            w_out, (1, 1), "VALID", dimension_numbers=dims,
+        )
+        if self.use_bias:
+            total = total + sum(dn(b) for _, b in pout)
+
+        total = Norm2d(
+            self.norm,
+            scale_init=scale_init,
             axis_name=self.axis_name,
             name="pw_norm",
         )(total, train=train)

@@ -41,6 +41,7 @@ class InceptionGenerator(nn.Module):
     init_gain: float = 0.02
     axis_name: Optional[str] = None
     fused_norms: bool = False  # single-pass Pallas instance-norm+relu
+    packed_blocks: bool = False  # branch-packed inception blocks (same math)
 
     @nn.compact
     def __call__(
@@ -97,6 +98,7 @@ class InceptionGenerator(nn.Module):
                 init_gain=self.init_gain,
                 axis_name=self.axis_name,
                 fused_norms=self.fused_norms,
+                packed=self.packed_blocks,
                 name=f"block{i}",
             )(h, train=train)
             name = f"block{i}"

@@ -40,6 +40,8 @@ class CycleGANHParams:
     beta1: float = 0.5
     init_type: str = "normal"
     init_gain: float = 0.02
+    # branch-packed inception blocks (identical math/params, wide MXU convs)
+    packed_blocks: bool = True
 
 
 @flax.struct.dataclass
@@ -62,7 +64,8 @@ class CycleGANTask:
         self.gen_cfg = gen_cfg
         self.disc_cfg = disc_cfg or NLayerDiscriminatorConfig(input_nc=gen_cfg.output_nc)
         self.hp = hp
-        self.netG = InceptionGenerator(gen_cfg, hp.init_type, hp.init_gain)
+        self.netG = InceptionGenerator(gen_cfg, hp.init_type, hp.init_gain,
+                                       packed_blocks=hp.packed_blocks)
         self.netD = NLayerDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))

@@ -41,6 +41,8 @@ class Pix2PixHParams:
     beta1: float = 0.5
     init_type: str = "normal"
     init_gain: float = 0.02
+    # branch-packed inception blocks (identical math/params, wide MXU convs)
+    packed_blocks: bool = True
 
 
 class Pix2PixTask:
@@ -55,7 +57,8 @@ class Pix2PixTask:
             input_nc=gen_cfg.input_nc + gen_cfg.output_nc
         )
         self.hp = hp
-        self.netG = InceptionGenerator(gen_cfg, hp.init_type, hp.init_gain)
+        self.netG = InceptionGenerator(gen_cfg, hp.init_type, hp.init_gain,
+                                       packed_blocks=hp.packed_blocks)
         self.netD = NLayerDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
