@@ -228,7 +228,11 @@ class InceptionDistiller:
             taps=taps,
         )
         t_fake = jax.lax.stop_gradient(up(t_fake))
-        t_acts = jax.lax.stop_gradient(up(t_acts))
+        # KA streams activations in the compute dtype: bf16xbf16->f32 MXU
+        # products equal upcast-then-multiply exactly, at half the HBM
+        # traffic.  The mse path keeps f32 (adaptor convs + squared error).
+        up_acts = (lambda t: t) if hp.distill_loss_type == "ka" else up
+        t_acts = jax.lax.stop_gradient(up_acts(t_acts))
 
         # --- student forward once, residuals saved ---
         def s_forward(s_params):
@@ -242,7 +246,7 @@ class InceptionDistiller:
                 taps=taps,
                 rngs={"dropout": r_drop},
             )
-            return (up(fake), up(acts)), new_stats
+            return (up(fake), up_acts(acts)), new_stats
 
         (s_fake, s_acts), s_vjp, s_stats = jax.vjp(
             s_forward, state.g.params["G"], has_aux=True

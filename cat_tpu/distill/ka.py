@@ -48,66 +48,69 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _gram_pair_kernel(x_ref, y_ref, gx_ref, gy_ref):
+def _gram_kernel(x_ref, g_ref):
     import jax.experimental.pallas as pl  # local import: TPU-only dependency
 
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        gx_ref[:] = jnp.zeros_like(gx_ref)
-        gy_ref[:] = jnp.zeros_like(gy_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
 
-    x = x_ref[:].astype(jnp.float32)
-    y = y_ref[:].astype(jnp.float32)
-    gx_ref[:] += jax.lax.dot_general(
+    # Stream in the input's own dtype; the MXU computes bf16xbf16->f32
+    # products exactly, so this equals upcasting to f32 first at half the
+    # HBM traffic.
+    x = x_ref[:]
+    g_ref[:] += jax.lax.dot_general(
         x, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    gy_ref[:] += jax.lax.dot_general(
-        y, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+
+
+def _gram_pallas(
+    x: jnp.ndarray, tile: int = _DEFAULT_TILE, interpret: bool = False
+) -> jnp.ndarray:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, f = x.shape
+    bp = max(_round_up(b, _SUBLANE), _SUBLANE)
+    fp = _round_up(f, tile)
+    if (bp, fp) != (b, f):
+        # pad in the input dtype (zero rows/columns contribute nothing)
+        x = jnp.zeros((bp, fp), x.dtype).at[:b, :f].set(x)
+
+    grid = (fp // tile,)
+    spec = pl.BlockSpec((bp, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bp, bp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    g = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, bp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * bp * fp,
+            bytes_accessed=bp * fp * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x)
+    return g[:b, :b]
 
 
 def _gram_pair_pallas(
     x: jnp.ndarray, y: jnp.ndarray, tile: int = _DEFAULT_TILE, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, fx = x.shape
-    fy = y.shape[1]
-    bp = max(_round_up(b, _SUBLANE), _SUBLANE)
-    # X and Y may have different feature widths; the kernel streams them in
-    # lockstep, so pad both to the common tile-aligned width (zero rows and
-    # columns contribute nothing to either Gram).
-    fp = _round_up(max(fx, fy), tile)
-    xp = jnp.zeros((bp, fp), jnp.float32).at[:b, :fx].set(x.astype(jnp.float32))
-    yp = jnp.zeros((bp, fp), jnp.float32).at[:b, :fy].set(y.astype(jnp.float32))
-
-    grid = (fp // tile,)
-    spec = pl.BlockSpec((bp, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((bp, bp), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    gx, gy = pl.pallas_call(
-        _gram_pair_kernel,
-        grid=grid,
-        in_specs=[spec, spec],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((bp, bp), jnp.float32),
-            jax.ShapeDtypeStruct((bp, bp), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bp * bp * fp, bytes_accessed=2 * bp * fp * 4, transcendentals=0
-        ),
-        interpret=interpret,
-    )(xp, yp)
-    return gx[:b, :b], gy[:b, :b]
+    return _gram_pallas(x, tile, interpret), _gram_pallas(y, tile, interpret)
 
 
 def _gram_pair_xla(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    xf = x.astype(jnp.float32)
-    yf = y.astype(jnp.float32)
-    return xf @ xf.T, yf @ yf.T
+    def gram(a):
+        return jax.lax.dot_general(
+            a, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    return gram(x), gram(y)
 
 
 def gram_pair(

@@ -54,6 +54,10 @@ class SPADEDistillHParams:
     init_type: str = "xavier"
     init_gain: float = 0.02
     mapping_layers: Tuple[str, ...] = DEFAULT_SPADE_MAPPING_LAYERS
+    # 'float32' | 'bfloat16' — bf16 generator/discriminator compute with f32
+    # master weights, norm statistics and losses (VGG stays f32: it is a
+    # perceptual judge and its scale dominates loss fidelity, not step time)
+    compute_dtype: str = "float32"
 
 
 class _Adaptor(nn.Module):
@@ -205,28 +209,42 @@ class SPADEDistiller:
     def _step(self, state: GANTrainState, teacher_variables: Dict,
               batch: Dict[str, jnp.ndarray], lr: jnp.ndarray):
         hp = self.hp
-        sem, real_B = self._semantics(batch), batch["image"]
+        from cat_tpu.train.common import cast_floats
+
+        cdt = jnp.dtype(hp.compute_dtype)
+        mixed = cdt != jnp.float32
+
+        def down(t):  # params/inputs -> compute dtype
+            return cast_floats(t, cdt) if mixed else t
+
+        def up(t):  # network outputs -> f32 for losses
+            return cast_floats(t, jnp.float32) if mixed else t
+
+        sem, real_B = down(self._semantics(batch)), batch["image"]
         lr_g, lr_d = lr * self.lr_mults[0], lr * self.lr_mults[1]
         rng, _ = jax.random.split(state.rng)
         taps = hp.mapping_layers
 
         t_stats = {k: v for k, v in teacher_variables.items() if k != "params"}
         (t_fake, t_acts), _ = self._apply(
-            self.netG_teacher, teacher_variables["params"], t_stats, sem,
+            self.netG_teacher, down(teacher_variables["params"]), t_stats, sem,
             train=False, taps=taps,
         )
-        t_fake = jax.lax.stop_gradient(t_fake)
-        t_acts = jax.lax.stop_gradient(t_acts)
+        t_fake = jax.lax.stop_gradient(up(t_fake))
+        t_acts = jax.lax.stop_gradient(up(t_acts))
 
         # --- G update (old D) ---
         def g_loss_fn(g_group):
             (fake, s_acts), g_stats = self._apply(
-                self.netG_student, g_group["G"], state.g.stats, sem,
+                self.netG_student, down(g_group["G"]), state.g.stats, sem,
                 train=True, taps=taps,
             )
+            fake, s_acts = up(fake), up(s_acts)
             pf, pr, _ = self._discriminate(
-                state.d.params, state.d.stats, sem, fake, real_B, train=True
+                state.d.params, state.d.stats, sem, down(fake), down(real_B),
+                train=True,
             )
+            pf, pr = up(pf), up(pr)
             l_gan = gan_loss(pf, True, hp.gan_mode, False) * hp.lambda_gan
             l_feat = feature_matching_loss(pf, pr) * hp.lambda_feat
             if self.vgg_variables is not None and hp.lambda_vgg > 0:
@@ -249,15 +267,18 @@ class SPADEDistiller:
         )
 
         # --- D update on the updated student's fake ---
-        fake, _ = self._apply(self.netG_student, g_params["G"], g_stats, sem, train=True)
+        fake, _ = self._apply(
+            self.netG_student, down(g_params["G"]), g_stats, sem, train=True
+        )
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
             pf, pr, d_stats = self._discriminate(
-                d_params, state.d.stats, sem, fake, real_B, train=True, mutable=True
+                down(d_params), state.d.stats, sem, fake, down(real_B),
+                train=True, mutable=True,
             )
-            lf = gan_loss(pf, False, hp.gan_mode, True)
-            lrr = gan_loss(pr, True, hp.gan_mode, True)
+            lf = gan_loss(up(pf), False, hp.gan_mode, True)
+            lrr = gan_loss(up(pr), True, hp.gan_mode, True)
             return lf + lrr, (lf, lrr, d_stats)
 
         (_, (l_d_fake, l_d_real, d_stats)), d_grads = jax.value_and_grad(

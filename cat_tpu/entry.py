@@ -271,6 +271,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         no_TTUR=opt.no_TTUR,
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
+        compute_dtype=opt.compute_dtype,
         init_type=opt.init_type, init_gain=opt.init_gain,
     )
     task = SPADETask(gen_cfg, d_cfg, hp, vgg_variables=cli.make_vgg(opt),

@@ -181,15 +181,15 @@ class InceptionBlock(nn.Module):
     scaling factors that drive channel pruning (reference:
     inception_modules.py:194-228, utils/prune.py:5-61).
 
-    ``packed=True`` (instance/none norm only) evaluates the block with all
-    branch convolutions packed into three wide convolutions — one for every
-    branch's "in" conv (kernels zero-padded to the largest k and concatenated
-    on C_out), one grouped conv for the depthwise stage, one for every
-    branch's "out" conv (concatenated on C_in, so the conv itself emits the
-    branch sum).  Identical math and identical parameter tree; skinny
-    per-branch convs (mid≈42 of 128 MXU lanes) become full-width MXU work
-    and 6 reads of ``x`` become one.  This is the "fused multi-branch block"
-    SURVEY §7 calls for — done with packed XLA convs instead of a kernel.
+    ``packed=True`` (instance/none norm only) evaluates the block with
+    branch convolutions packed into kernel-size-homogeneous groups (see
+    ``_packed_call``): FLOP-exact, fewer and wider convs.  Identical math
+    and identical parameter tree — checkpoints and pruning move freely
+    between paths.  This is the "fused multi-branch block" SURVEY §7 calls
+    for, done with packed XLA convs instead of a kernel.  (A variant that
+    zero-pads every kernel to the largest k and runs ONE conv per stage was
+    measured 40% slower on-chip: the k-padding inflates block FLOPs ~3.9x,
+    which swamps the utilization win — see tools/perf_probe.py.)
     """
 
     cfg: InceptionBlockConfig
@@ -291,95 +291,135 @@ class InceptionBlock(nn.Module):
         return yf.astype(y.dtype)
 
     def _packed_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Grouped branch packing: FLOP-exact, kernel-size-homogeneous groups.
+
+        Branch convs sharing a kernel size pack into one wide conv (the
+        k=1 group carries the res k=1 branch AND every dw 1x1); k=3/k=5
+        branches stay at their own size, so no zero-pad FLOP inflation.
+        The depthwise stage packs per-channel kernels (padding there is
+        negligible).  "Out" convs group the same way, each group conv
+        emitting a partial branch sum.  ~11 tensor ops per block instead of
+        ~21, with every 1x1 conv at 4x the lane width.
+        """
         cfg = self.cfg
         cin, dim = x.shape[-1], cfg.dim
         conv_init = conv_kernel_init(self.init_type, self.init_gain)
         scale_init = norm_scale_init(self.norm, self.init_gain)
         affine = self.norm.kind == "instance" and self.norm.affine
         res, dw = list(cfg.active_res), list(cfg.active_dw)
-        kmax_in = max([k for _, _, k in res] + [1])
-        kmax_dw = max([k for _, _, k in dw] + [1])
         cdt = x.dtype
+        dims = ("NHWC", "HWIO", "NHWC")
+        dropout = nn.Dropout(rate=self.dropout_rate, deterministic=not train)
 
         def dn(t):
             return t.astype(cdt)
 
         # ---- declare params (identical tree to the unpacked path) ----
-        pin, pout, pmid = [], [], []
+        rin, rout, din, dmid, dout = {}, {}, {}, {}, {}
         for i, mid, k in res:
-            pin.append(
-                _PConvNorm((k, k, cin, mid), self.use_bias, affine, conv_init,
-                           scale_init, name=f"res{i}_in")()
-            )
-            pout.append(
-                _PConv((k, k, mid, dim), self.use_bias, conv_init,
-                       name=f"res{i}_out")()
-            )
+            rin[i] = _PConvNorm((k, k, cin, mid), self.use_bias, affine, conv_init,
+                                scale_init, name=f"res{i}_in")()
+            rout[i] = _PConv((k, k, mid, dim), self.use_bias, conv_init,
+                             name=f"res{i}_out")()
         for i, mid, k in dw:
-            pin.append(
-                _PConvNorm((1, 1, cin, mid), self.use_bias, affine, conv_init,
-                           scale_init, name=f"dw{i}_in")()
-            )
-            pmid.append(
-                _PConvNorm((k, k, 1, mid), self.use_bias, affine, conv_init,
-                           scale_init, name=f"dw{i}_mid")()
-            )
-            pout.append(
-                _PConv((1, 1, mid, dim), self.use_bias, conv_init,
-                       name=f"dw{i}_out")()
-            )
+            din[i] = _PConvNorm((1, 1, cin, mid), self.use_bias, affine, conv_init,
+                                scale_init, name=f"dw{i}_in")()
+            dmid[i] = _PConvNorm((k, k, 1, mid), self.use_bias, affine, conv_init,
+                                 scale_init, name=f"dw{i}_mid")()
+            dout[i] = _PConv((1, 1, mid, dim), self.use_bias, conv_init,
+                             name=f"dw{i}_out")()
 
-        dims = ("NHWC", "HWIO", "NHWC")
-        dropout = nn.Dropout(rate=self.dropout_rate, deterministic=not train)
+        # ---- IN: one conv per kernel-size group (res first, dw last in k=1) ----
+        groups: dict = {}
+        for i, mid, k in res:
+            groups.setdefault(k, []).append(("res", i, mid))
+        for i, mid, k in dw:
+            groups.setdefault(1, []).append(("dw", i, mid))
 
-        # ---- packed IN conv: every branch's first conv in one pass over x ----
-        w_in = jnp.concatenate([center_pad_kernel(dn(k), kmax_in) for k, *_ in pin],
-                               axis=-1)
-        u = jax.lax.conv_general_dilated(
-            spatial_pad(x, (kmax_in - 1) // 2, self.padding_type),
-            w_in, (1, 1), "VALID", dimension_numbers=dims,
-        )
-        if self.use_bias:
-            u = u + jnp.concatenate([dn(b) for _, b, *_ in pin])
-        u = self._inorm_act(
-            u,
-            jnp.concatenate([s for _, _, s, _ in pin]) if affine else None,
-            jnp.concatenate([nb for _, _, _, nb in pin]) if affine else None,
-        )
-        n_res = sum(mid for _, mid, _ in res)
-        h_res, g_dw = u[..., :n_res], u[..., n_res:]
-
-        # ---- packed depthwise stage (per-channel kernels, one grouped conv) ----
-        if dw:
-            w_dw = jnp.concatenate(
-                [center_pad_kernel(dn(k), kmax_dw) for k, *_ in pmid], axis=-1
+        def group_conv(entries, k, params_of):
+            ws = jnp.concatenate(
+                [dn(params_of(kind, i)[0]) for kind, i, _ in entries], axis=-1
             )
-            gm = jax.lax.conv_general_dilated(
-                spatial_pad(g_dw, (kmax_dw - 1) // 2, self.padding_type),
-                w_dw, (1, 1), "VALID", dimension_numbers=dims,
-                feature_group_count=g_dw.shape[-1],
+            y = jax.lax.conv_general_dilated(
+                spatial_pad(x, (k - 1) // 2, self.padding_type) if k > 1 else x,
+                ws, (1, 1), "VALID", dimension_numbers=dims,
             )
             if self.use_bias:
-                gm = gm + jnp.concatenate([dn(b) for _, b, *_ in pmid])
+                y = y + jnp.concatenate(
+                    [dn(params_of(kind, i)[1]) for kind, i, _ in entries]
+                )
+            if affine:
+                sc = jnp.concatenate([params_of(kind, i)[2] for kind, i, _ in entries])
+                bi = jnp.concatenate([params_of(kind, i)[3] for kind, i, _ in entries])
+            else:
+                sc = bi = None
+            return self._inorm_act(y, sc, bi)
+
+        def in_params(kind, i):
+            return rin[i] if kind == "res" else din[i]
+
+        gout = {}  # k -> activated group tensor
+        for k in sorted(groups):
+            gout[k] = group_conv(groups[k], k, in_params)
+
+        # per-branch mid views (res after dropout; dw feeds the dw stage)
+        h_res, g_parts = {}, []
+        for k in sorted(groups):
+            off = 0
+            for kind, i, mid in groups[k]:
+                sl = gout[k][..., off:off + mid]
+                if kind == "res":
+                    h_res[i] = dropout(sl)
+                else:
+                    g_parts.append(sl)
+                off += mid
+
+        # ---- dw depthwise stage: one grouped conv over all dw channels ----
+        gm_parts = {}
+        if dw:
+            g_all = g_parts[0] if len(g_parts) == 1 else jnp.concatenate(g_parts, -1)
+            kmax_dw = max(k for _, _, k in dw)
+            w_dw = jnp.concatenate(
+                [center_pad_kernel(dn(dmid[i][0]), kmax_dw) for i, _, _ in dw], -1
+            )
+            gm = jax.lax.conv_general_dilated(
+                spatial_pad(g_all, (kmax_dw - 1) // 2, self.padding_type)
+                if kmax_dw > 1 else g_all,
+                w_dw, (1, 1), "VALID", dimension_numbers=dims,
+                feature_group_count=g_all.shape[-1],
+            )
+            if self.use_bias:
+                gm = gm + jnp.concatenate([dn(dmid[i][1]) for i, _, _ in dw])
             gm = self._inorm_act(
                 gm,
-                jnp.concatenate([s for _, _, s, _ in pmid]) if affine else None,
-                jnp.concatenate([nb for _, _, _, nb in pmid]) if affine else None,
+                jnp.concatenate([dmid[i][2] for i, _, _ in dw]) if affine else None,
+                jnp.concatenate([dmid[i][3] for i, _, _ in dw]) if affine else None,
             )
-            packed = jnp.concatenate([dropout(h_res), dropout(gm)], axis=-1)
-        else:
-            packed = dropout(h_res)
+            gm = dropout(gm)
+            off = 0
+            for i, mid, _ in dw:
+                gm_parts[i] = gm[..., off:off + mid]
+                off += mid
 
-        # ---- packed OUT conv: emits the branch sum directly ----
-        w_out = jnp.concatenate(
-            [center_pad_kernel(dn(k), kmax_in) for k, *_ in pout], axis=-2
-        )
-        total = jax.lax.conv_general_dilated(
-            spatial_pad(packed, (kmax_in - 1) // 2, self.padding_type),
-            w_out, (1, 1), "VALID", dimension_numbers=dims,
-        )
+        # ---- OUT: one conv per kernel-size group, emitting partial sums ----
+        og: dict = {}
+        for i, mid, k in res:
+            og.setdefault(k, []).append((h_res[i], rout[i]))
+        for i, mid, k in dw:
+            og.setdefault(1, []).append((gm_parts[i], dout[i]))
+
+        total = None
+        for k in sorted(og):
+            ts = [t for t, _ in og[k]]
+            xin = ts[0] if len(ts) == 1 else jnp.concatenate(ts, -1)
+            ws = jnp.concatenate([dn(p[0]) for _, p in og[k]], axis=-2)
+            y = jax.lax.conv_general_dilated(
+                spatial_pad(xin, (k - 1) // 2, self.padding_type) if k > 1 else xin,
+                ws, (1, 1), "VALID", dimension_numbers=dims,
+            )
+            total = y if total is None else total + y
         if self.use_bias:
-            total = total + sum(dn(b) for _, b in pout)
+            total = total + sum(dn(p[1]) for group in og.values() for _, p in group)
 
         total = Norm2d(
             self.norm,

@@ -42,6 +42,7 @@ class InceptionGenerator(nn.Module):
     axis_name: Optional[str] = None
     fused_norms: bool = False  # single-pass Pallas instance-norm+relu
     packed_blocks: bool = False  # branch-packed inception blocks (same math)
+    upsample_impl: str = "dilated"  # 'dilated' | 'subpixel' (same math)
 
     @nn.compact
     def __call__(
@@ -117,6 +118,7 @@ class InceptionGenerator(nn.Module):
                 output_padding=1,
                 use_bias=use_bias,
                 kernel_init=conv_kernel_init(self.init_type, self.init_gain),
+                impl=self.upsample_impl,
                 name=f"up{j}_conv",
             )(h)
             h = Norm2d(

@@ -114,6 +114,11 @@ class ConvTranspose2d(nn.Module):
     output_padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
+    # 'dilated': one conv over a zero-dilated input (XLA computes k*k taps
+    #   per output, 3/4 of which hit inserted zeros at s=2);
+    # 'subpixel': 4 parity-class convs + depth-to-space interleave —
+    #   identical math, only the 9 real taps computed.
+    impl: str = "dilated"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,19 +129,53 @@ class ConvTranspose2d(nn.Module):
             (k, k, x.shape[-1], self.features),
             jnp.float32,
         )
-        pad = (k - 1 - p, k - 1 - p + op)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=(pad, pad),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.impl == "subpixel" and (k, self.stride, p, op) == (3, 2, 1, 1):
+            y = self._subpixel(x, kernel.astype(x.dtype))
+        else:
+            pad = (k - 1 - p, k - 1 - p + op)
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=(pad, pad),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
         return y
+
+    def _subpixel(self, x: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+        """k=3,s=2,p=1,op=1 transposed conv as 4 parity-class convs.
+
+        With zpad = pad(dilate2(x), (1,2)) the dilated formulation gives
+          y[2i]   = K[1] @ x[i]                    (per spatial dim)
+          y[2i+1] = K[0] @ x[i] + K[2] @ x[i+1]
+        i.e. the even parity uses the kernel's centre tap and the odd parity
+        the two outer taps — 9 real MACs per input pixel instead of the 36
+        the naive dilated lowering performs.  Outputs interleave back via
+        depth-to-space.  Exact same math as the dilated path (parity test in
+        tests/test_ops.py).
+        """
+        B, H, W, Ci = x.shape
+        Co = K.shape[-1]
+        dims = ("NHWC", "HWIO", "NHWC")
+
+        def conv(inp, ker, ph, pw):
+            return jax.lax.conv_general_dilated(
+                inp, ker, (1, 1), (ph, pw), dimension_numbers=dims
+            )
+
+        # sub-kernels: rows/cols of K by output parity (see docstring)
+        even_h, odd_h = K[1:2], K[::2]  # (1,3,..) and (2,3,..)
+        y00 = conv(x, even_h[:, 1:2], (0, 0), (0, 0))          # (1,1) taps
+        y01 = conv(x, even_h[:, ::2], (0, 0), (0, 1))          # (1,2) taps
+        y10 = conv(x, odd_h[:, 1:2], (0, 1), (0, 0))           # (2,1) taps
+        y11 = conv(x, odd_h[:, ::2], (0, 1), (0, 1))           # (2,2) taps
+        y = jnp.stack([y00, y01, y10, y11], axis=-2)           # (B,H,W,4,Co)
+        y = y.reshape(B, H, W, 2, 2, Co).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(B, 2 * H, 2 * W, Co)
 
 
 # ---------------------------------------------------------------------------

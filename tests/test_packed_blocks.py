@@ -114,3 +114,17 @@ def test_pruned_heterogeneous_block_parity():
     ref = InceptionBlock(pruned, packed=False, **kw).apply(v, x)
     got = InceptionBlock(pruned, packed=True, **kw).apply(v, x)
     assert jnp.max(jnp.abs(ref - got)) < 2e-4
+
+
+def test_subpixel_conv_transpose_parity():
+    """subpixel ConvTranspose2d == dilated (identical math, k3 s2 p1 op1)."""
+    from cat_tpu.ops.nn import ConvTranspose2d
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 9, 7, 12))
+    a = ConvTranspose2d(features=10, impl="dilated")
+    b = ConvTranspose2d(features=10, impl="subpixel")
+    v = a.init(jax.random.PRNGKey(0), x)
+    ya = a.apply(v, x)
+    yb = b.apply(v, x)
+    assert ya.shape == (2, 18, 14, 10)
+    assert jnp.max(jnp.abs(ya - yb)) < 1e-5

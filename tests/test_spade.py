@@ -194,3 +194,33 @@ def test_spade_gamma_collection():
     b0, c0 = g.blocks[0], cfg.blocks[0]
     assert len(b0.res) == len(c0.active_res)
     assert len(b0.sp_res) == len(c0.spade.active_res)
+
+
+def test_spade_distiller_step_bf16(rng):
+    """bf16 compute path: finite metrics, close to the f32 step's losses,
+    and f32 master params/moments preserved."""
+    mk = lambda dt: SPADEDistiller(
+        tiny_cfg(8), tiny_cfg(4),
+        MultiscaleDiscriminatorConfig(input_nc=NC + 3, ndf=4, n_layers=3, num_D=2),
+        SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                            mapping_layers=("head_0", "up_1"),
+                            compute_dtype=dt),
+    )
+    tv_init = mk("float32").netG_teacher.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, NC))
+    )
+    b = batch(rng)
+    metrics = {}
+    for dt in ("float32", "bfloat16"):
+        dist = mk(dt)
+        state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv_init)
+        state, m = dist.train_step(state, tv, b, 2e-4)
+        assert all(np.isfinite(v) for v in jax.tree.leaves(m))
+        assert all(
+            p.dtype == jnp.float32
+            for p in jax.tree.leaves(state.g.params)
+        ), "master weights must stay f32"
+        metrics[dt] = m
+    for k in metrics["float32"]:
+        a, c = float(metrics["float32"][k]), float(metrics["bfloat16"][k])
+        assert abs(a - c) < 0.15 * (1.0 + abs(a)), (k, a, c)

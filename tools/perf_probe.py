@@ -159,10 +159,10 @@ def probe_step(fused=False):
     ta = jax.random.normal(rng, (BATCH, hb, wb, tb))
 
     @jax.jit
-    def ka_loss_grad(sa):
+    def ka_loss_grad(sa, ta):
         return jax.grad(lambda s: -ka(s, ta))(sa)
 
-    timed(ka_loss_grad, sa, name=f"ka_grad_x4/{tag}", iters=4)
+    timed(ka_loss_grad, sa, ta, name=f"ka_grad_x4/{tag}", iters=4)
 
 
 def _slope(make_fn, reps=(2, 8), iters=6, name=""):
@@ -507,8 +507,140 @@ def probe_blocks():
 
         return lambda: inner(v["params"], x0)
 
-    _slope(make_current_bwd, name="block_fwd_bwd/current")
-    _slope(make_packed_bwd, name="block_fwd_bwd/packed")
+    # backward scans keep n blocks' residuals alive: small rep counts
+    _slope(make_current_bwd, reps=(1, 3), name="block_fwd_bwd/current")
+    _slope(make_packed_bwd, reps=(1, 3), name="block_fwd_bwd/packed")
+
+
+def probe_upsample():
+    """Transposed conv (lhs_dilation) vs exact subpixel decomposition.
+
+    torch ConvTranspose2d(k=3,s=2,p=1,op=1) == 4 sub-convs of <=2x2 taps,
+    interleaved (depth-to-space).  If XLA lowers the dilated conv naively it
+    computes 9 taps per output over a zero-dilated input (~2.25x the
+    subpixel decomposition's work on the MXU).
+    """
+    B = BATCH
+    for name, h, cin, cout in [("up0 64->128px 256->128", 64, 256, 128),
+                               ("up1 128->256px 128->64", 128, 128, 64)]:
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (B, h, h, cin), jnp.bfloat16)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout), jnp.bfloat16)
+             * 0.01)
+
+        def make_dilated(n, x0=x0, w=w, cin=cin, cout=cout):
+            @jax.jit
+            def inner(x0, w):
+                def body(i, carry):
+                    x, acc = carry
+                    y = jax.lax.conv_general_dilated(
+                        x, w, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    s = jnp.sum(y[:1, :1, :1, :1])
+                    # keep a dependency that can't be hoisted: x shifts by a
+                    # data-dependent-but-zero amount
+                    x = x + jnp.zeros_like(x) * s
+                    return (x, acc + s)
+
+                _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.zeros((), jnp.bfloat16)))
+                return acc
+
+            return lambda: inner(x0, w)
+
+        _slope(make_dilated, name=f"up/dilated {name}")
+
+        def make_subpixel(n, x0=x0, w=w, cin=cin, cout=cout):
+            # sub-kernel (di,dj): taps of the flipped kernel contributing to
+            # output parity class (di,dj); build by slicing the 3x3 kernel.
+            @jax.jit
+            def inner(x0, w):
+                wf = w[::-1, ::-1]  # correlation <-> convolution flip
+                # output (2i+di, 2j+dj): contributions from input (i+a, j+b)
+                subs = []
+                for di in (0, 1):
+                    for dj in (0, 1):
+                        # taps (p,q) of wf with p%2==? -> build 2x2 zero-padded
+                        sub = jnp.zeros((2, 2, wf.shape[2], wf.shape[3]), wf.dtype)
+                        for p in range(3):
+                            for q in range(3):
+                                if (p - 1 + di) % 2 == 0 and (q - 1 + dj) % 2 == 0:
+                                    a, b = (p - 1 + di) // 2, (q - 1 + dj) // 2
+                                    sub = sub.at[a + 1 - di, b + 1 - dj].set(
+                                        wf[2 - p, 2 - q]
+                                    )
+                        subs.append(sub)
+                ws = jnp.concatenate(subs, axis=-1)  # (2,2,cin,4*cout)
+
+                def body(i, carry):
+                    x, acc = carry
+                    y = jax.lax.conv_general_dilated(
+                        x, ws, (1, 1), ((1, 0), (1, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    bb, hh, ww_, _ = y.shape
+                    co = ws.shape[-1] // 4
+                    y = y.reshape(bb, hh, ww_, 2, 2, co)
+                    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bb, hh * 2, ww_ * 2, co)
+                    s = jnp.sum(y[:1, :1, :1, :1])
+                    x = x + jnp.zeros_like(x) * s
+                    return (x, acc + s)
+
+                _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.zeros((), jnp.bfloat16)))
+                return acc
+
+            return lambda: inner(x0, w)
+
+        _slope(make_subpixel, name=f"up/subpixel {name}")
+
+
+def probe_gen_variants():
+    """Teacher fwd + student fwd/bwd across structural variants.
+
+    Variants are math-identical re-executions of the same params:
+      plain / packed (grouped branch convs) / subpixel upsample / both.
+    """
+    import bench as b
+
+    dist, state, tv, res = build()
+    from cat_tpu.models.generator import InceptionGenerator
+    from cat_tpu.train.common import apply_net, cast_floats
+
+    taps = dist.hp.mapping_layers
+    rng = jax.random.PRNGKey(1)
+    xa = jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32)
+    down = lambda t: cast_floats(t, jnp.bfloat16)
+
+    for packed in (False, True):
+        for upi in ("dilated", "subpixel"):
+            tag = f"packed={int(packed)},up={upi}"
+            t_model = InceptionGenerator(dist.teacher_cfg, packed_blocks=packed,
+                                         upsample_impl=upi)
+            s_model = InceptionGenerator(dist.student_cfg, packed_blocks=packed,
+                                         upsample_impl=upi)
+
+            @jax.jit
+            def t_fwd(tv, xa):
+                out, _ = apply_net(t_model, down(tv["params"]), {}, down(xa),
+                                   train=False, taps=taps)
+                return out[0]
+
+            timed(t_fwd, tv, xa, name=f"teacher_fwd[{tag}]")
+
+            @jax.jit
+            def s_fwd_bwd(params, xa):
+                def f(p):
+                    (fake, acts), _ = apply_net(
+                        s_model, down(p), state.g.stats, down(xa),
+                        train=True, mutable_stats=True, taps=taps,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                    )
+                    return jnp.sum(fake.astype(jnp.float32)) + sum(
+                        jnp.sum(a.astype(jnp.float32)) for a in acts.values()
+                    )
+
+                return jax.grad(f)(params)
+
+            timed(s_fwd_bwd, state.g.params["G"], xa, name=f"student_fwd_bwd[{tag}]")
 
 
 if __name__ == "__main__":
@@ -523,3 +655,7 @@ if __name__ == "__main__":
         check_packed()
     elif which == "blocks":
         probe_blocks()
+    elif which == "upsample":
+        probe_upsample()
+    elif which == "gen_variants":
+        probe_gen_variants()
