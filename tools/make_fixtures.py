@@ -204,7 +204,10 @@ def make_fake_inception(path: str, seed: int = 233):
         for k, v in leaves.items():
             shape = np.asarray(v).shape
             if k == "kernel":  # HWIO -> OIHW
-                w = rng.randn(*shape).astype(np.float32) * 0.1
+                # He scaling: random-weight judges must keep activations O(1)
+                # through ~90 layers or FID degenerates to overflow noise
+                fan_in = int(np.prod(shape[:3]))
+                w = rng.randn(*shape).astype(np.float32) * np.sqrt(2.0 / fan_in)
                 sd[prefix + ".conv.weight"] = torch.from_numpy(
                     w.transpose(3, 2, 0, 1).copy()
                 )
@@ -245,7 +248,7 @@ def make_fake_vgg19(path: str, seed: int = 233):
     cin = 3
     for i, c in zip(conv_idx, chans):
         sd[f"features.{i}.weight"] = torch.from_numpy(
-            (rng.randn(c, cin, 3, 3) * 0.05).astype(np.float32)
+            (rng.randn(c, cin, 3, 3) * np.sqrt(2.0 / (9 * cin))).astype(np.float32)
         )
         sd[f"features.{i}.bias"] = torch.from_numpy(
             (rng.randn(c) * 0.01).astype(np.float32)
@@ -257,6 +260,16 @@ def make_fake_vgg19(path: str, seed: int = 233):
 
 
 def main():
+    # Host-side weight/fixture generation only: force the CPU backend before
+    # any jax device touch (eager dispatch on the tunneled TPU costs ~25s/op).
+    import os
+
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("parity")
