@@ -88,8 +88,47 @@ def build():
     return dist, state, teacher_vars, res
 
 
+def _real_batches(dataroot, n):
+    """Disk -> decode -> collate -> H2D pipeline (BENCH_DATA mode).
+
+    Exercises the production input path: multi-worker JPEG/PNG decode
+    (cat_tpu.data.loader.DataLoader) and device double-buffering
+    (device_prefetch), instead of synthetic on-device tensors.
+    """
+    import itertools
+
+    import jax as _jax
+
+    from cat_tpu.data.datasets import UnalignedDataset
+    from cat_tpu.data.loader import DataLoader, device_prefetch
+    from cat_tpu.data.transforms import TransformSpec
+
+    spec = TransformSpec(preprocess="resize_and_crop", load_size=int(SIZE * 286 / 256),
+                         crop_size=SIZE, no_flip=False)
+    # load_in_memory caches the decoded+resized uint8 images after the
+    # first epoch: decode+resize is ~7ms/image of host time, and this host
+    # has ONE core against a >400 img/s step (real pods have dozens; the
+    # cache makes small datasets like horse2zebra host-core-independent)
+    ds = UnalignedDataset(dataroot, "train", spec, serial_batches=False, seed=0,
+                          load_in_memory=True)
+    loader = DataLoader(
+        ds, BATCH, shuffle=True, seed=0, drop_last=True,
+        prefetch=2, num_workers=int(os.environ.get("BENCH_WORKERS", "2")),
+    )
+
+    def forever():
+        while True:
+            yield from loader
+
+    def put(b):
+        return {k: _jax.device_put(v) for k, v in b.items() if k in ("A", "B")}
+
+    return itertools.islice(device_prefetch(forever(), put, depth=2), n)
+
+
 def main():
     dist, state, teacher_vars, res = build()
+    dataroot = os.environ.get("BENCH_DATA")
     rng = jax.random.PRNGKey(1)
     batch = {
         "A": jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32),
@@ -99,10 +138,21 @@ def main():
         state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
     float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
     # unreliable over the axon tunnel for non-scalar futures)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-    float(metrics["G_loss/recon"])
+    if dataroot:
+        # feed the step from disk through the production input pipeline
+        stream = _real_batches(dataroot, WARMUP + ITERS)
+        for _ in range(WARMUP):
+            state, metrics = dist.train_step(state, teacher_vars, next(stream), 2e-4)
+        float(metrics["G_loss/recon"])
+        t0 = time.perf_counter()
+        for b in stream:
+            state, metrics = dist.train_step(state, teacher_vars, b, 2e-4)
+        float(metrics["G_loss/recon"])
+    else:
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+        float(metrics["G_loss/recon"])
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 
@@ -126,7 +176,8 @@ def main():
             {
                 "metric": (
                     "horse2zebra KA-distill step throughput (teacher ngf64 + "
-                    f"student @2.6e9 MACs, 256px, batch {BATCH}, {COMPUTE_DTYPE})"
+                    f"student @2.6e9 MACs, 256px, batch {BATCH}, {COMPUTE_DTYPE}"
+                    + (", disk-fed" if dataroot else "") + ")"
                 ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",

@@ -59,6 +59,11 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--max_dataset_size", type=int, default=-1)
     p.add_argument("--preprocess", type=str, default="resize_and_crop")
     p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--on_device_data", type=int, default=0, choices=[0, 1],
+                   help="keep the (resized, uint8) training images resident "
+                        "in HBM and sample crop/flip batches inside jit — "
+                        "zero steady-state host->device traffic (unaligned "
+                        "mode; small datasets)")
     p.add_argument("--load_in_memory", action="store_true",
                    help="cache decoded images to bypass IO")
     p.add_argument("--phase", type=str, default="train")

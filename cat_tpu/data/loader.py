@@ -11,11 +11,19 @@ copy of the next batches with the running step.  Shapes are static
 from __future__ import annotations
 
 import collections
+import multiprocessing
 import random
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional
 
 import numpy as np
+
+# fork-inherited dataset for process workers (never touches jax in children)
+_WORKER_DATASET = None
+
+
+def _worker_fetch_batch(indices: List[int]) -> Dict[str, Any]:
+    return collate([_WORKER_DATASET[i] for i in indices])
 
 
 def collate(samples: List[Dict]) -> Dict[str, Any]:
@@ -40,11 +48,25 @@ class DataLoader:
         prefetch: int = 2,
         num_workers: int = 4,
         process_shard: Optional[tuple] = None,
+        worker_mode: str = "thread",
     ):
         """``process_shard=(process_index, process_count)`` enables
         multi-host feeding: ``batch_size`` is the GLOBAL batch; every host
         builds the same seeded index order but decodes only its own
-        contiguous slice of each batch (cat_tpu/parallel/multihost.py)."""
+        contiguous slice of each batch (cat_tpu/parallel/multihost.py).
+
+        ``worker_mode``:
+          * ``"thread"`` — per-sample decode over a thread pool.  PIL
+            releases the GIL during decode, but the numpy transform tail
+            (crop/flip/normalize/collate) does not: measured ~16 img/s of
+            256px images against a 409 img/s training step.
+          * ``"process"`` — torch-DataLoader-style fork()ed worker
+            processes, one *batch* per task, arrays returned by zero-copy
+            numpy pickling.  True parallel decode; crop/flip randomness
+            comes from each worker's fork-inherited RNG, so the sample
+            stream is distribution-identical but not bit-identical to
+            serial iteration.  This is the training-throughput mode.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +74,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_workers = num_workers
         self.process_shard = process_shard
+        self.worker_mode = worker_mode
+        self._pool = None
         if process_shard is not None:
             pid, pcount = process_shard
             if batch_size % pcount:
@@ -94,6 +118,9 @@ class DataLoader:
             for b in batches:
                 yield collate([self.dataset[i] for i in b])
             return
+        if self.worker_mode == "process":
+            yield from self._iter_processes(batches)
+            return
 
         # per-sample decode fan-out across the pool; up to `prefetch`
         # batches of futures stay in flight ahead of the consumer
@@ -112,6 +139,43 @@ class DataLoader:
                 yield collate([f.result() for f in ready])
             while window:
                 yield collate([f.result() for f in window.popleft()])
+
+    def _iter_processes(self, batches: List[List[int]]) -> Iterator[Dict[str, Any]]:
+        """fork()ed batch workers; ≥``num_workers`` batches stay in flight.
+
+        The pool is created lazily per loader (not per epoch) and the
+        children inherit the dataset by fork — no per-task pickling of
+        anything but the index list out and the batch arrays back.
+        """
+        global _WORKER_DATASET
+        if getattr(self, "_pool", None) is None:
+            _WORKER_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers)
+        pool = self._pool
+        depth = max(self.num_workers + self.prefetch, 2)
+        window: collections.deque = collections.deque()
+        for b in batches[:depth]:
+            window.append(pool.apply_async(_worker_fetch_batch, (b,)))
+        for b in batches[depth:]:
+            ready = window.popleft()
+            window.append(pool.apply_async(_worker_fetch_batch, (b,)))
+            yield ready.get()
+        while window:
+            yield window.popleft().get()
+
+    def close(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+            self._pool = None
+
+    def __del__(self):  # best-effort: don't leak fork()ed workers
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def device_prefetch(

@@ -59,12 +59,14 @@ def _scale_width(img: Image.Image, target_size: int, crop_size: int, method) -> 
     return img.resize((w, h), method)
 
 
-def apply_transform(
-    img: Image.Image,
-    spec: TransformSpec,
-    params: Optional[TransformParams] = None,
-) -> np.ndarray:
-    """PIL image -> float32 HWC array in [-1, 1]."""
+def resize_image(img: Image.Image, spec: TransformSpec) -> Image.Image:
+    """Deterministic decode-time stage: colourspace + resize.
+
+    Depends only on (path, spec), so its result is cacheable across epochs
+    (--load_in_memory) — decode+resize is ~7ms/image of host time vs
+    ~0.5ms for the random crop/flip/normalise tail, which matters when one
+    host core must feed a >400 img/s training step.
+    """
     if spec.grayscale:
         img = img.convert("L")
     else:
@@ -78,6 +80,15 @@ def apply_transform(
         img = img.resize(
             (spec.load_size, int(spec.load_size / spec.aspect_ratio)), spec.method
         )
+    return img
+
+
+def finish_transform(
+    img: Image.Image,
+    spec: TransformSpec,
+    params: Optional[TransformParams] = None,
+) -> np.ndarray:
+    """Per-epoch stage on a resized image: crop/flip -> [-1, 1] float32."""
     if "crop" in spec.preprocess:
         x, y = params.crop_pos if params else (0, 0)
         img = img.crop((x, y, x + spec.crop_size, y + spec.crop_size))
@@ -87,3 +98,12 @@ def apply_transform(
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr * 2.0 - 1.0
+
+
+def apply_transform(
+    img: Image.Image,
+    spec: TransformSpec,
+    params: Optional[TransformParams] = None,
+) -> np.ndarray:
+    """PIL image -> float32 HWC array in [-1, 1]."""
+    return finish_transform(resize_image(img, spec), spec, params)

@@ -91,16 +91,36 @@ def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
 # ---------------------------------------------------------------------------
 
 
-def setup_train(opt) -> Tuple[Trainer, Any]:
-    cli.set_seed(opt.seed)
-    spec = cli.transform_spec(opt)
-    loader = create_dataloader(
+def _make_train_loader(opt, spec):
+    """Host DataLoader, or the HBM-resident bank when --on_device_data.
+
+    The device path uploads the decoded+resized uint8 image set once and
+    samples crop/flip/normalised batches inside jit (data/device_data.py)
+    — zero steady-state host->device traffic.  Supported for the unaligned
+    (CycleGAN/distill) mode; other modes fall back to the host loader.
+    """
+    if getattr(opt, "on_device_data", 0) and opt.dataset_mode == "unaligned":
+        from cat_tpu.data.device_data import DeviceData, DeviceDataLoader
+
+        dd, n = DeviceData.from_unaligned(
+            opt.dataroot, opt.phase, spec.load_size, spec.crop_size,
+            no_flip=spec.no_flip, max_size=opt.max_dataset_size,
+        )
+        return DeviceDataLoader(dd, opt.batch_size, max(n // opt.batch_size, 1),
+                                seed=opt.seed)
+    return create_dataloader(
         opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
         phase=opt.phase, direction=opt.direction,
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
         seed=opt.seed, load_in_memory=opt.load_in_memory,
         num_workers=opt.num_threads,
     )
+
+
+def setup_train(opt) -> Tuple[Trainer, Any]:
+    cli.set_seed(opt.seed)
+    spec = cli.transform_spec(opt)
+    loader = _make_train_loader(opt, spec)
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     gen_cfg = cli.generator_config(opt, opt.ngf)
     judge = cli.make_fid_judge(opt)
@@ -478,13 +498,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
 
     cli.set_seed(opt.seed)
     spec = cli.transform_spec(opt)
-    loader = create_dataloader(
-        opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
-        phase=opt.phase, direction=opt.direction,
-        serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
-        seed=opt.seed, load_in_memory=opt.load_in_memory,
-        num_workers=opt.num_threads,
-    )
+    loader = _make_train_loader(opt, spec)
     logger = Logger(opt.log_dir, opt.tensorboard_dir)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
 

@@ -3,9 +3,10 @@
 Reference: models/modules/inception_architecture/inception_generator.py:12-145.
 
 TPU-native departures:
-  * NHWC layout, HWIO kernels; transposed convs are flax ``ConvTranspose``
-    with SAME padding (exact 2x upsampling, same output shapes as the
-    reference's ConvTranspose2d(k=3, s=2, p=1, output_padding=1)).
+  * NHWC layout, HWIO kernels; transposed convs use the torch-geometry
+    ``ConvTranspose2d`` from cat_tpu.ops.nn (input-dilated conv with
+    k=3, s=2, p=1, output_padding=1 — exact 2x upsampling and numerical
+    parity with the reference's torch ConvTranspose2d).
   * Intermediate activations for distillation are *returned* via the ``taps``
     argument instead of captured by forward hooks
     (reference: distillers/base_inception_distiller.py:247-269).

@@ -41,7 +41,11 @@ class TrainerConfig:
 
 
 def _device_batch(batch: Dict) -> Dict:
-    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    import jax
+
+    return {
+        k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jax.Array))
+    }
 
 
 class Trainer:

@@ -172,3 +172,48 @@ def test_train_cli_cyclegan(unaligned_root, tmp_path):
     ])
     assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G_A.*"))
     assert os.path.exists(os.path.join(log_dir, "log.txt"))
+
+
+def test_distill_cli_on_device_data(unaligned_root, tmp_path):
+    """--on_device_data: HBM-resident image bank feeds the distill loop."""
+    from cat_tpu.entry import distill_main
+
+    cfg = tiny_teacher_cfg()
+    model = InceptionGenerator(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.RandomState(0)
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ),
+        variables,
+    )
+    tdir = str(tmp_path / "teacher")
+    ckpt.save_net(tdir, "best", "G", variables, cfg)
+
+    from cat_tpu.compress.profiling import profile_generator
+
+    target = profile_generator(cfg, 32, 32).macs * 0.5
+    log_dir = str(tmp_path / "logs")
+    distill_main([
+        "--dataroot", unaligned_root,
+        "--dataset_mode", "unaligned",
+        "--on_device_data", "1",
+        "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--target_flops", str(target),
+        "--prune_cin_lb", "2",
+        "--log_dir", log_dir,
+        "--batch_size", "2",
+        "--crop_size", "32", "--load_size", "36",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--gan_mode", "lsgan",
+        "--distill_G_loss_type", "ka",
+        "--lambda_recon", "5",
+        "--ndf", "8",
+        "--inception_path", "/nonexistent.pth",
+    ])
+    saved = glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+    assert saved, "per-epoch student checkpoint missing (device-data path)"

@@ -33,7 +33,13 @@ NGF=${QL_NGF:-64}
 SNGF=${QL_SNGF:-20}
 FLOPS=${QL_FLOPS:-2.6e9}
 CDT=${QL_CDT:-bfloat16}
+# QL_DEVICE_DATA=1: train/distill from the HBM-resident image bank
+# (data/device_data.py) — zero steady-state host->device traffic; the
+# right mode when host->device bandwidth is scarce (tunneled harness)
+DEVDATA=${QL_DEVICE_DATA:-0}
 COMMON="--crop_size $SIZE --load_size $((SIZE * 286 / 256))"
+TRAIN_EXTRA=""
+[ "$DEVDATA" = "1" ] && TRAIN_EXTRA="--on_device_data 1"
 
 mkdir -p "$WORK"
 
@@ -59,7 +65,7 @@ $PY train.py --dataroot "$DATA" \
   --save_epoch_freq 10 \
   --norm_affine --norm_affine_D \
   --channels_reduction_factor 6 \
-  --kernel_sizes 1 3 5
+  --kernel_sizes 1 3 5 $TRAIN_EXTRA
 
 TCKPT="$WORK/teacher/checkpoints/best_A_net_G_A.msgpack"
 [ -f "$TCKPT" ] || TCKPT="$WORK/teacher/checkpoints/latest_net_G_A.msgpack"
@@ -86,7 +92,7 @@ $PY distill.py --dataroot "$DATA" \
   --prune_cin_lb 16 \
   --target_flops "$FLOPS" \
   --distill_G_loss_type ka \
-  --compute_dtype "$CDT"
+  --compute_dtype "$CDT" $TRAIN_EXTRA
 
 SCKPT="$WORK/student2p6B/checkpoints/best_net_G.msgpack"
 [ -f "$SCKPT" ] || SCKPT="$WORK/student2p6B/checkpoints/latest_net_G.msgpack"
