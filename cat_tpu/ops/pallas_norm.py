@@ -4,24 +4,27 @@ Instance norm is the hottest non-conv op in the inception generators (every
 ConvBNReLU unit at 256px feature maps).  XLA computes it as two passes over
 the feature map (statistics, then normalise) plus separate elementwise
 epilogues; this kernel computes per-(sample, channel) statistics and applies
-scale/bias/ReLU in a single VMEM-resident pass per (sample, spatial-block)
+scale/bias/ReLU in a single VMEM-resident pass per (sample, channel-tile)
 — one HBM read + one HBM write.
 
-Layout: NHWC with the grid over the batch; each program normalises one
-sample (H*W x C resident in VMEM — at generator bottleneck sizes,
-64x64x256 fp32 = 4 MB, well within the 16 MB VMEM budget).  For larger
-feature maps fall back to the XLA path (`instance_norm_act` dispatches on a
-VMEM estimate).
+Layout: NHWC with the grid over (batch, channel tiles).  Instance-norm
+statistics are independent per (sample, channel), so tiling the channel
+axis is exact: each program holds an (H, W, ctile) slab in VMEM, reduces
+it over space, and writes the normalised slab.  The tile width adapts so
+the slab fits the VMEM budget at any batch size / resolution (the
+batch-only grid of the first version needed the whole (H, W, C) sample
+resident and could not run the 256px stem at batch 128).  Only when a
+single channel's (H, W) plane alone exceeds the budget (>= 1M-pixel
+feature maps) does `instance_norm_act` fall back to the XLA path.
 
 Forward-only fusion: the backward pass uses the jnp reference via
-jax.custom_vjp-free autodiff of the fallback (the kernel is used for
-inference/eval paths and as an opt-in for the forward in training).
+jax.custom_vjp of the fallback (the kernel is used for inference/eval
+paths and as an opt-in for the forward in training).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +35,7 @@ _VMEM_BUDGET = 8 * 1024 * 1024  # conservative half of VMEM
 def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float, act: str):
     import jax.experimental.pallas as pl  # noqa: F401
 
-    x = x_ref[:].astype(jnp.float32)  # (1, H, W, C) block
+    x = x_ref[:].astype(jnp.float32)  # (1, H, W, ctile) block
     mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x), axis=(0, 1, 2), keepdims=True) - jnp.square(mean)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
@@ -42,6 +45,20 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float, act: str):
     elif act == "leaky_relu":
         y = jnp.where(y >= 0, y, 0.01 * y)
     o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _channel_tile(h: int, w: int, c: int) -> int:
+    """Widest channel tile whose (H, W, ctile) f32 slab (x2: in + out)
+    fits the VMEM budget.  Prefer lane-width multiples when possible."""
+    per_channel = h * w * 4 * 2
+    max_tile = max(_VMEM_BUDGET // per_channel, 0)
+    if max_tile >= c:
+        return c
+    if max_tile >= 128:
+        return (max_tile // 128) * 128
+    if max_tile >= 8:
+        return (max_tile // 8) * 8
+    return max_tile  # 1..7, or 0 => caller falls back to XLA
 
 
 def instance_norm_act_pallas(
@@ -56,17 +73,24 @@ def instance_norm_act_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     n, h, w, c = x.shape
-    grid = (n,)
+    ct = _channel_tile(h, w, c)
+    if ct <= 0:
+        raise ValueError(
+            f"feature map {(h, w)} too large for the Pallas norm kernel "
+            f"(single-channel plane exceeds the {_VMEM_BUDGET >> 20} MiB budget)"
+        )
+    grid = (n, -(-c // ct))  # ceil: edge tiles are masked by Pallas, and
+    # per-channel statistics mean padding lanes cannot pollute real channels
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, act=act),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct,), lambda i, j: (j,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
@@ -95,9 +119,9 @@ def instance_norm_act(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused instance norm + affine + activation; dispatches to the Pallas
-    kernel when the per-sample feature map fits the VMEM budget on TPU."""
+    kernel when a single-channel spatial plane fits the VMEM budget on TPU."""
     if use_pallas == "auto":
-        fits = x.shape[1] * x.shape[2] * x.shape[3] * 4 * 2 <= _VMEM_BUDGET
+        fits = _channel_tile(x.shape[1], x.shape[2], x.shape[3]) > 0
         use_pallas = "yes" if (_effective_backend() == "tpu" and fits) else "no"
     if use_pallas == "yes" or interpret:
         return instance_norm_act_pallas(x, scale, bias, eps, act, interpret)

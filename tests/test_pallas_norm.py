@@ -80,3 +80,33 @@ def test_pallas_norm_matches_norm2d(rng):
     )
     got = instance_norm_act(x, scale, bias, act="relu", interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_channel_tiled_with_masked_edge(rng, monkeypatch):
+    """Force ctile < C with a non-divisible edge tile: statistics are
+    per-(sample, channel), so tiling (incl. the masked padding lanes of the
+    ceil-grid edge block) must be exact."""
+    import cat_tpu.ops.pallas_norm as pn
+
+    # 8x8 plane -> 512 B/channel x2; budget 2.5 KiB -> ctile 4 over C=7
+    monkeypatch.setattr(pn, "_VMEM_BUDGET", 8 * 8 * 4 * 2 * 3 + 512)
+    x = jnp.asarray(rng.randn(2, 8, 8, 7), jnp.float32)
+    scale = jnp.asarray(rng.rand(7) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(7), jnp.float32)
+    assert pn._channel_tile(8, 8, 7) == 4
+    ref = instance_norm_act_xla(x, scale, bias)
+    got = pn.instance_norm_act_pallas(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_channel_tile_sizing():
+    from cat_tpu.ops.pallas_norm import _VMEM_BUDGET, _channel_tile
+
+    # 256px stem at any batch: per-channel plane = 512 KiB -> tile of 16
+    assert _channel_tile(256, 256, 16) == 16
+    # wide bottleneck at 64px fits whole
+    assert _channel_tile(64, 64, 256) == 256
+    # 2048px: 32 MiB/channel exceeds the budget -> XLA fallback signal
+    assert _channel_tile(2048, 2048, 3) == 0
+    # budget respected at the boundary
+    assert _channel_tile(512, 512, 64) * 512 * 512 * 8 <= _VMEM_BUDGET
