@@ -52,6 +52,12 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--direction", type=str, default="AtoB")
     p.add_argument("--serial_batches", action="store_true")
     p.add_argument("--num_threads", type=int, default=4)
+    p.add_argument("--data_backend", type=str, default="thread",
+                   choices=["thread", "process", "native"],
+                   help="decode workers: Python thread pool, fork()ed "
+                        "processes, or the C++ image pipeline "
+                        "(cat_tpu/native; GIL-free std::thread decode, "
+                        "falls back to threads if unavailable)")
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--load_size", type=int, default=286)
     p.add_argument("--crop_size", type=int, default=256)

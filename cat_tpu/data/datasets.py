@@ -143,6 +143,53 @@ class UnalignedDataset:
         b_arr = finish_transform(b, self.spec, get_params(self.spec, b_size, self.rng))
         return {"A": a_arr, "B": b_arr, "A_paths": path_a, "B_paths": path_b}
 
+    def native_supported(self) -> bool:
+        """The C++ batch fetcher covers the training default: RGB
+        resize_and_crop with a PIL-family filter (cat_tpu/native)."""
+        from cat_tpu.native import native_filter_for
+
+        s = self.spec
+        return (s.preprocess == "resize_and_crop" and not s.grayscale
+                and s.aspect_ratio == 1.0
+                and native_filter_for(s.method) is not None)
+
+    def native_batch(self, indices: List[int], pipe, nthreads: int) -> Dict:
+        """Fetch a collated batch through the native C++ pipeline.
+
+        Draws path/crop/flip randomness from ``self.rng`` in exactly the
+        order serial ``__getitem__`` iteration would, so the sample stream
+        is loader-backend independent (decode itself differs from PIL only
+        by the documented <=2/255 resize rounding).
+        """
+        import numpy as np
+
+        from cat_tpu.native import native_filter_for
+
+        spec = self.spec
+        paths: List[str] = []
+        cx, cy, fl = [], [], []
+        for index in indices:
+            path_a = self.paths_A[index % len(self.paths_A)]
+            if self.serial:
+                path_b = self.paths_B[index % len(self.paths_B)]
+            else:
+                path_b = self.paths_B[self.rng.randint(0, len(self.paths_B) - 1)]
+            for p in (path_a, path_b):
+                prm = get_params(spec, (spec.load_size, spec.load_size), self.rng)
+                paths.append(p)
+                cx.append(prm.crop_pos[0])
+                cy.append(prm.crop_pos[1])
+                fl.append(prm.flip)
+        out = pipe.fetch_batch(
+            paths, spec.load_size, spec.crop_size,
+            np.asarray(cx), np.asarray(cy), np.asarray(fl, np.uint8),
+            nthreads=nthreads, filter=native_filter_for(spec.method),
+        )
+        return {
+            "A": out[0::2], "B": out[1::2],
+            "A_paths": paths[0::2], "B_paths": paths[1::2],
+        }
+
 
 class SingleDataset:
     """One-directory loader for evaluation (reference data/single_dataset.py)."""
@@ -183,6 +230,7 @@ def create_dataloader(
     drop_last: bool = True,
     load_in_memory: bool = False,
     num_workers: int = 4,
+    worker_mode: str = "thread",
 ) -> DataLoader:
     if dataset_mode == "aligned":
         ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed,
@@ -195,7 +243,8 @@ def create_dataloader(
     else:
         raise NotImplementedError(f"dataset mode [{dataset_mode}] not implemented")
     return DataLoader(ds, batch_size, shuffle=not serial_batches, seed=seed,
-                      drop_last=drop_last, num_workers=num_workers)
+                      drop_last=drop_last, num_workers=num_workers,
+                      worker_mode=worker_mode)
 
 
 def create_eval_dataloader(

@@ -31,11 +31,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def stack_resized_uint8(paths: Sequence[str], load_size: int, method=None) -> np.ndarray:
-    """Decode + resize every image once on host -> (N, S, S, 3) uint8."""
+def stack_resized_uint8(paths: Sequence[str], load_size: int, method=None,
+                        nthreads: int = 4) -> np.ndarray:
+    """Decode + resize every image once on host -> (N, S, S, 3) uint8.
+
+    Uses the C++ pipeline (cat_tpu/native, multithreaded GIL-free decode)
+    when available; PIL otherwise."""
     from PIL import Image
 
     method = method or Image.BICUBIC
+
+    from cat_tpu.native import load_pipe, native_filter_for
+
+    pipe = load_pipe()
+    filt = native_filter_for(method)
+    if pipe is not None and filt is not None:
+        try:
+            return pipe.fill_bank(paths, load_size, nthreads=nthreads,
+                                  filter=filt)
+        except IOError:
+            pass  # unsupported container (e.g. webp): PIL fallback
+
     out = np.empty((len(paths), load_size, load_size, 3), np.uint8)
     for i, p in enumerate(paths):
         img = Image.open(p).convert("RGB").resize((load_size, load_size), method)

@@ -121,6 +121,12 @@ class DataLoader:
         if self.worker_mode == "process":
             yield from self._iter_processes(batches)
             return
+        if self.worker_mode == "native":
+            it = self._iter_native(batches)
+            if it is not None:
+                yield from it
+                return
+            # pipeline unavailable or dataset/spec unsupported: thread path
 
         # per-sample decode fan-out across the pool; up to `prefetch`
         # batches of futures stay in flight ahead of the consumer
@@ -139,6 +145,42 @@ class DataLoader:
                 yield collate([f.result() for f in ready])
             while window:
                 yield collate([f.result() for f in window.popleft()])
+
+    def _iter_native(self, batches: List[List[int]]) -> Optional[Iterator[Dict[str, Any]]]:
+        """Batches through the C++ image pipeline (cat_tpu/native).
+
+        One submission thread keeps the Python-side RNG draws in serial
+        order; the ctypes call releases the GIL while the C++ thread pool
+        decodes, so up to ``prefetch`` whole batches overlap the training
+        step.  Returns None (caller falls back to the thread pool) when
+        the native library or the dataset/spec support is unavailable.
+        """
+        from cat_tpu import native
+
+        fetch = getattr(self.dataset, "native_batch", None)
+        supported = getattr(self.dataset, "native_supported", None)
+        if fetch is None or supported is None or not supported():
+            return None
+        pipe = native.load_pipe()
+        if pipe is None:
+            return None
+
+        def gen():
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                window: collections.deque = collections.deque()
+                depth = max(self.prefetch, 1)
+                for b in batches[:depth]:
+                    window.append(
+                        pool.submit(fetch, b, pipe, self.num_workers))
+                for b in batches[depth:]:
+                    ready = window.popleft()
+                    window.append(
+                        pool.submit(fetch, b, pipe, self.num_workers))
+                    yield ready.result()
+                while window:
+                    yield window.popleft().result()
+
+        return gen()
 
     def _iter_processes(self, batches: List[List[int]]) -> Iterator[Dict[str, Any]]:
         """fork()ed batch workers; ≥``num_workers`` batches stay in flight.

@@ -114,6 +114,7 @@ def _make_train_loader(opt, spec):
         serial_batches=opt.serial_batches, max_size=opt.max_dataset_size,
         seed=opt.seed, load_in_memory=opt.load_in_memory,
         num_workers=opt.num_threads,
+        worker_mode=getattr(opt, "data_backend", "thread"),
     )
 
 
