@@ -41,6 +41,10 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--output_nc", type=int, default=3)
     p.add_argument("--norm", type=str, default="instance",
                    choices=["instance", "batch", "syncbatch", "none"])
+    p.add_argument("--remat", type=int, default=0, choices=[0, 1],
+                   help="rematerialise generator forwards inside the train "
+                        "step (jax.checkpoint): ~1/3 more generator FLOPs "
+                        "for a large activation-memory cut")
     p.add_argument("--packed_blocks", type=int, default=1, choices=[0, 1],
                    help="evaluate inception blocks with branch-packed convs "
                         "(identical math and parameter tree; wide-MXU execution)")

@@ -58,6 +58,9 @@ class SPADEDistillHParams:
     # master weights, norm statistics and losses (VGG stays f32: it is a
     # perceptual judge and its scale dominates loss fidelity, not step time)
     compute_dtype: str = "float32"
+    # evaluate SPADE blocks with branch-packed convolutions (identical math
+    # and parameter tree; models/spade.py SPADEBlock docstring)
+    packed_blocks: bool = True
 
 
 class _Adaptor(nn.Module):
@@ -94,8 +97,10 @@ class SPADEDistiller:
         # raw-batch preprocessing spec; callers override for dontcare/no-instance
         self.label_nc = teacher_cfg.semantic_nc - 1  # minus the edge channel
         self.contain_dontcare = False
-        self.netG_teacher = SPADEGenerator(teacher_cfg, hp.init_type, hp.init_gain)
-        self.netG_student = SPADEGenerator(student_cfg, hp.init_type, hp.init_gain)
+        self.netG_teacher = SPADEGenerator(teacher_cfg, hp.init_type, hp.init_gain,
+                                           packed_blocks=hp.packed_blocks)
+        self.netG_student = SPADEGenerator(student_cfg, hp.init_type, hp.init_gain,
+                                           packed_blocks=hp.packed_blocks)
         self.netD = MultiscaleDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1, hp.beta2)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))

@@ -184,6 +184,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             lambda_identity=opt.lambda_identity, pool_size=opt.pool_size,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
             packed_blocks=bool(opt.packed_blocks),
+            remat=bool(getattr(opt, "remat", 0)),
         )
         d_cfg = cli.discriminator_config(opt, opt.output_nc)
         task = CycleGANTask(gen_cfg, d_cfg, hp)

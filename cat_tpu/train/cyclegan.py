@@ -42,6 +42,10 @@ class CycleGANHParams:
     init_gain: float = 0.02
     # branch-packed inception blocks (identical math/params, wide MXU convs)
     packed_blocks: bool = True
+    # rematerialise generator forwards in the G step (jax.checkpoint):
+    # recompute-in-backward instead of storing activations of all six
+    # generator applications — enables 256px batch>=16 on a 16G chip
+    remat: bool = False
 
 
 @flax.struct.dataclass
@@ -112,8 +116,14 @@ class CycleGANTask:
         d_params, d_stats = state.d.params, state.d.stats
 
         def g_fwd(g_params, name, x):
-            out, _ = apply_net(self.netG, g_params[name], state.g.stats[name], x, train=True)
-            return out
+            def fwd(p, xx):
+                out, _ = apply_net(self.netG, p, state.g.stats[name], xx,
+                                   train=True)
+                return out
+
+            if hp.remat:
+                fwd = jax.checkpoint(fwd)
+            return fwd(g_params[name], x)
 
         # --- generator update (old discriminators; reference 292-298) ---
         def g_loss_fn(g_params):

@@ -103,6 +103,13 @@ class SPADEHParams:
     beta2: float = 0.9
     init_type: str = "xavier"
     init_gain: float = 0.02
+    # evaluate SPADE blocks with branch-packed convolutions (identical math
+    # and parameter tree; models/spade.py SPADEBlock docstring)
+    packed_blocks: bool = True
+    # 'float32' | 'bfloat16' — bf16 generator compute with f32 master
+    # weights, norm statistics and losses (same contract as the SPADE
+    # distiller's compute_dtype)
+    compute_dtype: str = "float32"
 
 
 def feature_matching_loss(pred_fake, pred_real) -> jnp.ndarray:
@@ -134,7 +141,8 @@ class SPADETask:
         # raw-batch preprocessing spec (labels -> one-hot (+dontcare) + edges)
         self.label_nc = input_nc or gen_cfg.semantic_nc
         self.contain_dontcare = False
-        self.netG = SPADEGenerator(gen_cfg, hp.init_type, hp.init_gain)
+        self.netG = SPADEGenerator(gen_cfg, hp.init_type, hp.init_gain,
+                                   packed_blocks=hp.packed_blocks)
         self.netD = MultiscaleDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1, hp.beta2)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
@@ -209,16 +217,31 @@ class SPADETask:
     def _step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
               lr: jnp.ndarray):
         hp = self.hp
-        sem, real_B = self._semantics(batch), batch["image"]
+        from cat_tpu.train.common import cast_floats
+
+        cdt = jnp.dtype(hp.compute_dtype)
+        mixed = cdt != jnp.float32
+
+        def down(t):  # params/inputs -> compute dtype
+            return cast_floats(t, cdt) if mixed else t
+
+        def up(t):  # network outputs -> f32 for losses
+            return cast_floats(t, jnp.float32) if mixed else t
+
+        sem, real_B = down(self._semantics(batch)), batch["image"]
         lr_g, lr_d = lr * self.lr_mults[0], lr * self.lr_mults[1]
         rng, _ = jax.random.split(state.rng)
 
         # --- G update (old D) ---
         def g_loss_fn(g_params):
-            fake, g_stats = self._apply_g(g_params, state.g.stats, sem, train=True)
+            fake, g_stats = self._apply_g(down(g_params), state.g.stats, sem,
+                                          train=True)
+            fake = up(fake)
             pred_fake, pred_real, _ = self._discriminate(
-                state.d.params, state.d.stats, sem, fake, real_B, train=True
+                state.d.params, state.d.stats, sem, down(fake), down(real_B),
+                train=True
             )
+            pred_fake, pred_real = up(pred_fake), up(pred_real)
             l_gan = gan_loss(pred_fake, True, hp.gan_mode, False) * hp.lambda_gan
             l_feat = feature_matching_loss(pred_fake, pred_real) * hp.lambda_feat
             if self.vgg_variables is not None and hp.lambda_vgg > 0:
@@ -236,8 +259,8 @@ class SPADETask:
         )
 
         # --- D update: regenerate fake from the UPDATED G, no grad ---
-        fake, _ = self._apply_g(g_params, g_stats, sem, train=True)
-        fake = jax.lax.stop_gradient(fake)
+        fake, _ = self._apply_g(down(g_params), g_stats, sem, train=True)
+        fake = jax.lax.stop_gradient(down(up(fake)))
 
         def d_loss_fn(d_params):
             pred_fake, pred_real, d_stats = self._discriminate(

@@ -224,3 +224,17 @@ def test_spade_distiller_step_bf16(rng):
     for k in metrics["float32"]:
         a, c = float(metrics["float32"][k]), float(metrics["bfloat16"][k])
         assert abs(a - c) < 0.15 * (1.0 + abs(a)), (k, a, c)
+
+
+def test_spade_task_step_bf16(rng):
+    """compute_dtype='bfloat16' in SPADEHParams (regression: setup_train_spade
+    passes it; it must exist and keep f32 master weights)."""
+    task = SPADETask(
+        tiny_cfg(),
+        MultiscaleDiscriminatorConfig(input_nc=NC + 3, ndf=4, n_layers=3, num_D=2),
+        SPADEHParams(lambda_vgg=0.0, compute_dtype="bfloat16"),
+    )
+    state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    state, metrics = task.train_step(state, batch(rng), 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.g.params))
