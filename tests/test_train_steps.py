@@ -147,3 +147,24 @@ def test_image_pool_semantics():
     for i, v in enumerate(np.asarray(out2)[:, 0, 0, 0]):
         assert float(v) == float(imgs[4 + i, 0, 0, 0]) or float(v) in buffered
         buffered = set(float(x) for x in np.asarray(pool2.buffer)[:, 0, 0, 0]) | buffered
+
+
+def test_cyclegan_remat_step_matches(rng):
+    """hp.remat=True must be numerically identical (jax.checkpoint only
+    changes what is stored vs recomputed)."""
+    mk = lambda remat: CycleGANTask(
+        tiny_gen(), NLayerDiscriminatorConfig(input_nc=3, ndf=4),
+        CycleGANHParams(remat=remat),
+    )
+    t0, t1 = mk(False), mk(True)
+    s0 = t0.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    s1 = t1.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
+    batch = fake_batch(rng)
+    s0, m0 = t0.train_step(s0, batch, 2e-4)
+    s1, m1 = t1.train_step(s1, batch, 2e-4)
+    for k in m0:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m0[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    for x, y in zip(jax.tree.leaves(s0.g.params), jax.tree.leaves(s1.g.params)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
