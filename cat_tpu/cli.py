@@ -86,6 +86,10 @@ def base_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--n_devices", type=int, default=1,
                    help="data-parallel devices (0 = all available; default "
                         "single-device, like the reference's gpu_ids=0)")
+    p.add_argument("--n_spatial", type=int, default=1,
+                   help="spatial-parallel devices: shard image HEIGHT over "
+                        "a second mesh axis (GSPMD inserts conv halo "
+                        "exchanges); total devices = n_devices * n_spatial")
     return p
 
 

@@ -30,12 +30,13 @@ from cat_tpu.utils.logger import Logger
 
 
 def _mesh_or_none(opt):
-    n = opt.n_devices if opt.n_devices > 0 else len(jax.devices())
-    if n <= 1:
+    sp = getattr(opt, "n_spatial", 1)
+    n = opt.n_devices if opt.n_devices > 0 else len(jax.devices()) // max(sp, 1)
+    if n * max(sp, 1) <= 1:
         return None
     from cat_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(n)
+    return make_mesh(n, n_spatial=sp)
 
 
 def _place(state, aux, mesh):

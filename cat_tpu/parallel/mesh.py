@@ -13,9 +13,14 @@ replacement is one SPMD program under GSPMD jit over a 1-D ``data`` mesh:
   * multi-host (DCN) is the same program over a larger mesh with per-host
     data feeding.
 
-Growing beyond data parallelism (spatial sharding of feature maps with halo
-exchange for very large resolutions) only needs extra axes in the mesh and
-sharding rules here.
+Beyond data parallelism, a second ``spatial`` mesh axis shards the image
+HEIGHT dimension: convolutions under GSPMD get their halo exchanges
+(boundary-row transfers between neighbouring shards) inserted by the XLA
+SPMD partitioner automatically, and instance/batch-norm spatial reductions
+become cross-device collectives the same way.  This is how resolutions
+whose activations exceed one chip's HBM (>512px GauGAN) scale: no manual
+``ppermute`` halo code to maintain — the partitioner owns it, we own the
+sharding annotations (tests/test_sharding.py::test_spatial_sharding).
 """
 
 from __future__ import annotations
@@ -27,27 +32,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS,
+              n_spatial: int = 1) -> Mesh:
+    """1-D data mesh, or a (data, spatial) 2-D mesh when n_spatial > 1."""
     devices = jax.devices()
-    if n_devices is not None:
-        if n_devices > len(devices):
+    if n_devices is not None and n_devices > 0:
+        total = n_devices * max(n_spatial, 1)
+        if total > len(devices):
             raise ValueError(
-                f"requested {n_devices} devices but only {len(devices)} available"
+                f"requested {total} devices but only {len(devices)} available"
             )
-        devices = devices[:n_devices]
+        devices = devices[:total]
+    if n_spatial > 1:
+        grid = np.asarray(devices).reshape(len(devices) // n_spatial, n_spatial)
+        return Mesh(grid, (axis, SPATIAL_AXIS))
     return Mesh(np.asarray(devices), (axis,))
 
 
 def data_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    if SPATIAL_AXIS in mesh.axis_names:
+        # NHWC: batch over data, height over spatial
+        return NamedSharding(mesh, P(axis, SPATIAL_AXIS))
     return NamedSharding(mesh, P(axis))
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place a host batch with its leading dim sharded over the mesh."""
+    """Place a host batch with its leading dim sharded over the mesh (and,
+    on a 2-D mesh, image height over the spatial axis)."""
     sharding = data_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    batch_nd = NamedSharding(mesh, P(axis))  # for non-spatial entries
+
+    def put(x):
+        s = sharding if getattr(x, "ndim", 0) >= 2 else batch_nd
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
