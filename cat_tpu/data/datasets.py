@@ -145,12 +145,18 @@ class UnalignedDataset:
 
     def native_supported(self) -> bool:
         """The C++ batch fetcher covers the training default: RGB
-        resize_and_crop with a PIL-family filter (cat_tpu/native)."""
+        resize_and_crop with a PIL-family filter over JPEG/PNG files
+        (cat_tpu/native).  Any other container (webp/tiff/...) falls the
+        whole loader back to PIL up front rather than mid-epoch."""
         from cat_tpu.native import native_filter_for
 
         s = self.spec
-        return (s.preprocess == "resize_and_crop" and not s.grayscale
-                and s.aspect_ratio == 1.0
+        ok_files = all(
+            p.lower().endswith((".jpg", ".jpeg", ".png"))
+            for p in self.paths_A + self.paths_B
+        )
+        return (ok_files and s.preprocess == "resize_and_crop"
+                and not s.grayscale and s.aspect_ratio == 1.0
                 and native_filter_for(s.method) is not None)
 
     def native_batch(self, indices: List[int], pipe, nthreads: int) -> Dict:
