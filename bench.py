@@ -126,9 +126,27 @@ def _real_batches(dataroot, n):
     return itertools.islice(device_prefetch(forever(), put, depth=2), n)
 
 
+def _device_batches(dataroot, n):
+    """HBM-resident bank -> jit-sampled batches (BENCH_DEVICE_DATA mode).
+
+    The production input path for small datasets: the decoded uint8 image
+    set is uploaded once and crop/flip/normalised batches are sampled
+    inside jit — steady-state host involvement is a PRNG fold per step."""
+    import jax as _jax
+
+    from cat_tpu.data.device_data import DeviceData
+
+    dd, _ = DeviceData.from_unaligned(
+        dataroot, "train", int(SIZE * 286 / 256), SIZE)
+    key = _jax.random.PRNGKey(0)
+    for s_ in range(n):
+        yield dd.sample(_jax.random.fold_in(key, s_), BATCH)
+
+
 def main():
     dist, state, teacher_vars, res = build()
     dataroot = os.environ.get("BENCH_DATA")
+    devdata = os.environ.get("BENCH_DEVICE_DATA")
     rng = jax.random.PRNGKey(1)
     batch = {
         "A": jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32),
@@ -138,9 +156,10 @@ def main():
         state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
     float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
     # unreliable over the axon tunnel for non-scalar futures)
-    if dataroot:
+    if dataroot or devdata:
         # feed the step from disk through the production input pipeline
-        stream = _real_batches(dataroot, WARMUP + ITERS)
+        stream = (_device_batches(devdata, WARMUP + ITERS) if devdata
+                  else _real_batches(dataroot, WARMUP + ITERS))
         for _ in range(WARMUP):
             state, metrics = dist.train_step(state, teacher_vars, next(stream), 2e-4)
         float(metrics["G_loss/recon"])
@@ -177,7 +196,8 @@ def main():
                 "metric": (
                     "horse2zebra KA-distill step throughput (teacher ngf64 + "
                     f"student @2.6e9 MACs, 256px, batch {BATCH}, {COMPUTE_DTYPE}"
-                    + (", disk-fed" if dataroot else "") + ")"
+                    + (", disk-fed" if dataroot else "")
+                    + (", device-bank-fed" if devdata else "") + ")"
                 ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",

@@ -49,16 +49,18 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float, act: str):
 
 def _channel_tile(h: int, w: int, c: int) -> int:
     """Widest channel tile whose (H, W, ctile) f32 slab (x2: in + out)
-    fits the VMEM budget.  Prefer lane-width multiples when possible."""
+    fits the VMEM budget.
+
+    Mosaic requires a block's last dim to be a multiple of 128 OR the full
+    array dim, so a partial tile is only legal in 128-channel units: tiles
+    are the full C when it fits, else the largest 128-multiple that fits,
+    else 0 (caller falls back to XLA — e.g. the 256px x 64ch encoder maps,
+    where a 128-wide slab would need 64 MiB)."""
     per_channel = h * w * 4 * 2
     max_tile = max(_VMEM_BUDGET // per_channel, 0)
     if max_tile >= c:
         return c
-    if max_tile >= 128:
-        return (max_tile // 128) * 128
-    if max_tile >= 8:
-        return (max_tile // 8) * 8
-    return max_tile  # 1..7, or 0 => caller falls back to XLA
+    return (max_tile // 128) * 128  # 0 => caller falls back to XLA
 
 
 def instance_norm_act_pallas(

@@ -85,15 +85,16 @@ def test_pallas_norm_matches_norm2d(rng):
 def test_channel_tiled_with_masked_edge(rng, monkeypatch):
     """Force ctile < C with a non-divisible edge tile: statistics are
     per-(sample, channel), so tiling (incl. the masked padding lanes of the
-    ceil-grid edge block) must be exact."""
+    ceil-grid edge block) must be exact.  Partial tiles come only in
+    128-channel units (Mosaic block constraint)."""
     import cat_tpu.ops.pallas_norm as pn
 
-    # 8x8 plane -> 512 B/channel x2; budget 2.5 KiB -> ctile 4 over C=7
-    monkeypatch.setattr(pn, "_VMEM_BUDGET", 8 * 8 * 4 * 2 * 3 + 512)
-    x = jnp.asarray(rng.randn(2, 8, 8, 7), jnp.float32)
-    scale = jnp.asarray(rng.rand(7) + 0.5, jnp.float32)
-    bias = jnp.asarray(rng.randn(7), jnp.float32)
-    assert pn._channel_tile(8, 8, 7) == 4
+    # 2x2 plane -> 32 B/channel x2; budget 130 channels -> ctile 128 < C=140
+    monkeypatch.setattr(pn, "_VMEM_BUDGET", 2 * 2 * 4 * 2 * 130)
+    x = jnp.asarray(rng.randn(2, 2, 2, 140), jnp.float32)
+    scale = jnp.asarray(rng.rand(140) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(140), jnp.float32)
+    assert pn._channel_tile(2, 2, 140) == 128
     ref = instance_norm_act_xla(x, scale, bias)
     got = pn.instance_norm_act_pallas(x, scale, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
@@ -102,11 +103,15 @@ def test_channel_tiled_with_masked_edge(rng, monkeypatch):
 def test_channel_tile_sizing():
     from cat_tpu.ops.pallas_norm import _VMEM_BUDGET, _channel_tile
 
-    # 256px stem at any batch: per-channel plane = 512 KiB -> tile of 16
+    # 256px stem at any batch: whole 16-channel sample fits
     assert _channel_tile(256, 256, 16) == 16
     # wide bottleneck at 64px fits whole
     assert _channel_tile(64, 64, 256) == 256
+    # 256px encoder at 64ch: partial tiles must be 128-multiples, none
+    # fit -> XLA fallback (Mosaic last-dim constraint)
+    assert _channel_tile(256, 256, 64) == 0
+    # small spatial, huge C: tiles in 128 units
+    assert _channel_tile(32, 32, 1024) == 1024  # fits whole
+    assert _channel_tile(64, 64, 2048) == 256  # 2 x 128
     # 2048px: 32 MiB/channel exceeds the budget -> XLA fallback signal
     assert _channel_tile(2048, 2048, 3) == 0
-    # budget respected at the boundary
-    assert _channel_tile(512, 512, 64) * 512 * 512 * 8 <= _VMEM_BUDGET
