@@ -48,19 +48,27 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float, act: str):
 
 
 def _channel_tile(h: int, w: int, c: int) -> int:
-    """Widest channel tile whose (H, W, ctile) f32 slab (x2: in + out)
-    fits the VMEM budget.
+    """Widest channel tile whose (H, W, ctile) slab (x2: in + out) fits
+    the VMEM budget, accounting for Mosaic's layout:
 
-    Mosaic requires a block's last dim to be a multiple of 128 OR the full
-    array dim, so a partial tile is only legal in 128-channel units: tiles
-    are the full C when it fits, else the largest 128-multiple that fits,
-    else 0 (caller falls back to XLA — e.g. the 256px x 64ch encoder maps,
-    where a 128-wide slab would need 64 MiB)."""
-    per_channel = h * w * 4 * 2
-    max_tile = max(_VMEM_BUDGET // per_channel, 0)
-    if max_tile >= c:
+    * the lane (last) dim of a VMEM slab is padded to a multiple of 128,
+      so a 16-channel 256px stem block really occupies 256*256*128 lanes
+      (64 MiB) — such shapes must go to XLA;
+    * a partial tile (< C) must itself be a multiple of 128 (Mosaic block
+      constraint).
+
+    In practice this selects the bottleneck-resolution feature maps (the
+    bulk of the generator's norm count) and leaves the few large-spatial
+    encoder/decoder norms to XLA.  Returns 0 for the XLA fallback."""
+    plane = h * w * 4 * 2  # f32 in + out, per lane-channel
+
+    def padded(ct: int) -> int:
+        return -(-ct // 128) * 128
+
+    if plane * padded(c) <= _VMEM_BUDGET:
         return c
-    return (max_tile // 128) * 128  # 0 => caller falls back to XLA
+    max_tile = (_VMEM_BUDGET // plane // 128) * 128
+    return max_tile if 0 < max_tile < c else 0
 
 
 def instance_norm_act_pallas(

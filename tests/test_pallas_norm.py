@@ -103,15 +103,16 @@ def test_channel_tiled_with_masked_edge(rng, monkeypatch):
 def test_channel_tile_sizing():
     from cat_tpu.ops.pallas_norm import _VMEM_BUDGET, _channel_tile
 
-    # 256px stem at any batch: whole 16-channel sample fits
-    assert _channel_tile(256, 256, 16) == 16
-    # wide bottleneck at 64px fits whole
-    assert _channel_tile(64, 64, 256) == 256
-    # 256px encoder at 64ch: partial tiles must be 128-multiples, none
-    # fit -> XLA fallback (Mosaic last-dim constraint)
+    # 256px stem: 16 lanes pad to 128 -> 64 MiB slab -> XLA fallback
+    assert _channel_tile(256, 256, 16) == 0
+    # 256px encoder at 64ch: same lane padding -> XLA fallback
     assert _channel_tile(256, 256, 64) == 0
+    # wide bottleneck at 64px fits whole (256 lanes, 8 MiB)
+    assert _channel_tile(64, 64, 256) == 256
+    # skinny branch mids at 64px: 42 lanes pad to 128 -> 4 MiB, fits
+    assert _channel_tile(64, 64, 42) == 42
     # small spatial, huge C: tiles in 128 units
     assert _channel_tile(32, 32, 1024) == 1024  # fits whole
     assert _channel_tile(64, 64, 2048) == 256  # 2 x 128
-    # 2048px: 32 MiB/channel exceeds the budget -> XLA fallback signal
+    # 2048px: one 128-lane slab exceeds the budget -> XLA fallback
     assert _channel_tile(2048, 2048, 3) == 0
