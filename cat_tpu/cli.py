@@ -128,6 +128,10 @@ def train_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--nepochs_decay", type=int, default=15)
     p.add_argument("--beta1", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="train/distill-step compute dtype (f32 master "
+                        "weights; bfloat16 runs convs single-pass on the MXU)")
     p.add_argument("--gan_mode", type=str, default="hinge",
                    choices=["vanilla", "lsgan", "wgangp", "hinge"])
     p.add_argument("--pool_size", type=int, default=50)
@@ -243,10 +247,6 @@ def make_vgg(opt):
 def distill_arguments(parser: argparse.ArgumentParser):
     p = train_arguments(parser)
     spade_arguments(p)
-    p.add_argument("--compute_dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="distill-step compute dtype (f32 master weights; "
-                        "bfloat16 runs convs single-pass on the MXU)")
     p.add_argument("--fused_norms", action="store_true",
                    help="route affine instance-norm+relu through the Pallas kernel")
     p.add_argument("--distiller", type=str, default="inception",

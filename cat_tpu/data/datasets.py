@@ -80,6 +80,20 @@ class _ImageCache:
         return ent
 
 
+def _image_size(path: str, cache: "_ImageCache", spec=None):
+    """(w, h) from the container header — no pixel decode.  Used by the
+    serial ``prepare`` stage; for ``resize_and_crop`` the size never feeds
+    the transform params, so the header read is skipped entirely."""
+    if spec is not None and spec.preprocess == "resize_and_crop":
+        return (spec.load_size, spec.load_size)  # unused by get_params
+    if cache.store is not None:
+        ent = cache.store.get(path)
+        if ent is not None and len(ent) == 2:
+            return ent[1]
+    with Image.open(path) as im:
+        return im.size
+
+
 class AlignedDataset:
     """AB side-by-side images split in half; A and B share transform params
     (reference data/aligned_dataset.py:32-58)."""
@@ -98,19 +112,30 @@ class AlignedDataset:
     def __len__(self):
         return len(self.paths)
 
-    def __getitem__(self, index: int) -> Dict:
+    def prepare(self, index: int):
+        """Serial stage: every RNG draw for this sample (same order and
+        values as direct iteration).  ``load`` is then pure, so worker
+        backends produce a bit-identical, deterministic stream."""
         path = self.paths[index]
+        w, h = _image_size(path, self.cache)
+        params = get_params(self.spec, (w // 2, h), self.rng)
+        return (path, params)
+
+    def load(self, task) -> Dict:
+        path, params = task
         ab = self.cache.open(path).convert("RGB")
         w, h = ab.size
         w2 = w // 2
         a = ab.crop((0, 0, w2, h))
         b = ab.crop((w2, 0, w, h))
-        params = get_params(self.spec, a.size, self.rng)
         a_arr = apply_transform(a, self.spec, params)
         b_arr = apply_transform(b, self.spec, params)
         if self.direction == "BtoA":
             a_arr, b_arr = b_arr, a_arr
         return {"A": a_arr, "B": b_arr, "A_paths": path, "B_paths": path}
+
+    def __getitem__(self, index: int) -> Dict:
+        return self.load(self.prepare(index))
 
 
 class UnalignedDataset:
@@ -131,17 +156,34 @@ class UnalignedDataset:
     def __len__(self):
         return max(len(self.paths_A), len(self.paths_B))
 
-    def __getitem__(self, index: int) -> Dict:
+    def prepare(self, index: int):
+        """Serial stage: B-pairing + crop/flip draws in the exact order
+        direct iteration performs them.  ``load`` is pure — any worker
+        backend (threads, fork processes, the C++ pipeline) replays the
+        same sample stream."""
         path_a = self.paths_A[index % len(self.paths_A)]
         if self.serial:
             path_b = self.paths_B[index % len(self.paths_B)]
         else:
             path_b = self.paths_B[self.rng.randint(0, len(self.paths_B) - 1)]
-        a, a_size = self.cache.open_resized(path_a, self.spec)
-        b, b_size = self.cache.open_resized(path_b, self.spec)
-        a_arr = finish_transform(a, self.spec, get_params(self.spec, a_size, self.rng))
-        b_arr = finish_transform(b, self.spec, get_params(self.spec, b_size, self.rng))
-        return {"A": a_arr, "B": b_arr, "A_paths": path_a, "B_paths": path_b}
+        prm_a = get_params(self.spec, _image_size(path_a, self.cache, self.spec),
+                           self.rng)
+        prm_b = get_params(self.spec, _image_size(path_b, self.cache, self.spec),
+                           self.rng)
+        return (path_a, path_b, prm_a, prm_b)
+
+    def load(self, task) -> Dict:
+        path_a, path_b, prm_a, prm_b = task
+        a, _ = self.cache.open_resized(path_a, self.spec)
+        b, _ = self.cache.open_resized(path_b, self.spec)
+        return {
+            "A": finish_transform(a, self.spec, prm_a),
+            "B": finish_transform(b, self.spec, prm_b),
+            "A_paths": path_a, "B_paths": path_b,
+        }
+
+    def __getitem__(self, index: int) -> Dict:
+        return self.load(self.prepare(index))
 
     def native_supported(self) -> bool:
         """The C++ batch fetcher covers the training default: RGB
@@ -175,13 +217,8 @@ class UnalignedDataset:
         paths: List[str] = []
         cx, cy, fl = [], [], []
         for index in indices:
-            path_a = self.paths_A[index % len(self.paths_A)]
-            if self.serial:
-                path_b = self.paths_B[index % len(self.paths_B)]
-            else:
-                path_b = self.paths_B[self.rng.randint(0, len(self.paths_B) - 1)]
-            for p in (path_a, path_b):
-                prm = get_params(spec, (spec.load_size, spec.load_size), self.rng)
+            path_a, path_b, prm_a, prm_b = self.prepare(index)
+            for p, prm in ((path_a, prm_a), (path_b, prm_b)):
                 paths.append(p)
                 cx.append(prm.crop_pos[0])
                 cy.append(prm.crop_pos[1])

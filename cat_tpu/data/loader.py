@@ -22,8 +22,11 @@ import numpy as np
 _WORKER_DATASET = None
 
 
-def _worker_fetch_batch(indices: List[int]) -> Dict[str, Any]:
-    return collate([_WORKER_DATASET[i] for i in indices])
+def _worker_fetch_batch(arg) -> Dict[str, Any]:
+    kind, items = arg
+    if kind == "tasks":  # prepared in the parent: workers only decode
+        return collate([_WORKER_DATASET.load(t) for t in items])
+    return collate([_WORKER_DATASET[i] for i in items])
 
 
 def collate(samples: List[Dict]) -> Dict[str, Any]:
@@ -62,10 +65,13 @@ class DataLoader:
             256px images against a 409 img/s training step.
           * ``"process"`` — torch-DataLoader-style fork()ed worker
             processes, one *batch* per task, arrays returned by zero-copy
-            numpy pickling.  True parallel decode; crop/flip randomness
-            comes from each worker's fork-inherited RNG, so the sample
-            stream is distribution-identical but not bit-identical to
-            serial iteration.  This is the training-throughput mode.
+            numpy pickling.  True parallel decode.
+
+        For datasets exposing ``prepare``/``load`` (aligned, unaligned),
+        every backend draws the per-sample randomness SERIALLY in the
+        consumer process via ``prepare`` and runs only the pure ``load``
+        on workers — the sample stream is bit-identical and deterministic
+        across thread / process / native backends and worker counts.
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -129,12 +135,16 @@ class DataLoader:
             # pipeline unavailable or dataset/spec unsupported: thread path
 
         # per-sample decode fan-out across the pool; up to `prefetch`
-        # batches of futures stay in flight ahead of the consumer
+        # batches of futures stay in flight ahead of the consumer.  RNG
+        # draws happen here (serially, via prepare) — workers are pure.
+        prep = getattr(self.dataset, "prepare", None)
+        loadf = getattr(self.dataset, "load", None)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             window: collections.deque = collections.deque()
-            it = iter(batches)
 
             def submit(b):
+                if prep is not None:
+                    return [pool.submit(loadf, prep(i)) for i in b]
                 return [pool.submit(self.dataset.__getitem__, i) for i in b]
 
             for b in batches[: self.prefetch]:
@@ -195,13 +205,21 @@ class DataLoader:
             ctx = multiprocessing.get_context("fork")
             self._pool = ctx.Pool(self.num_workers)
         pool = self._pool
+        prep = getattr(self.dataset, "prepare", None)
+
+        def task(b):
+            # draw randomness serially in the parent; children only decode
+            if prep is not None:
+                return ("tasks", [prep(i) for i in b])
+            return ("indices", b)
+
         depth = max(self.num_workers + self.prefetch, 2)
         window: collections.deque = collections.deque()
         for b in batches[:depth]:
-            window.append(pool.apply_async(_worker_fetch_batch, (b,)))
+            window.append(pool.apply_async(_worker_fetch_batch, (task(b),)))
         for b in batches[depth:]:
             ready = window.popleft()
-            window.append(pool.apply_async(_worker_fetch_batch, (b,)))
+            window.append(pool.apply_async(_worker_fetch_batch, (task(b),)))
             yield ready.get()
         while window:
             yield window.popleft().get()

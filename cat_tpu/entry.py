@@ -100,15 +100,23 @@ def _make_train_loader(opt, spec):
     — zero steady-state host->device traffic.  Supported for the unaligned
     (CycleGAN/distill) mode; other modes fall back to the host loader.
     """
-    if getattr(opt, "on_device_data", 0) and opt.dataset_mode == "unaligned":
-        from cat_tpu.data.device_data import DeviceData, DeviceDataLoader
+    if getattr(opt, "on_device_data", 0):
+        supported = (opt.dataset_mode == "unaligned"
+                     and spec.preprocess == "resize_and_crop"
+                     and not opt.serial_batches)
+        if not supported:
+            print("WARNING: --on_device_data supports unaligned "
+                  "resize_and_crop without --serial_batches; using the "
+                  "host loader instead.")
+        else:
+            from cat_tpu.data.device_data import DeviceData, DeviceDataLoader
 
-        dd, n = DeviceData.from_unaligned(
-            opt.dataroot, opt.phase, spec.load_size, spec.crop_size,
-            no_flip=spec.no_flip, max_size=opt.max_dataset_size,
-        )
-        return DeviceDataLoader(dd, opt.batch_size, max(n // opt.batch_size, 1),
-                                seed=opt.seed)
+            dd, n = DeviceData.from_unaligned(
+                opt.dataroot, opt.phase, spec.load_size, spec.crop_size,
+                no_flip=spec.no_flip, max_size=opt.max_dataset_size,
+            )
+            return DeviceDataLoader(dd, opt.batch_size,
+                                    max(n // opt.batch_size, 1), seed=opt.seed)
     return create_dataloader(
         opt.dataset_mode, opt.dataroot, opt.batch_size, spec,
         phase=opt.phase, direction=opt.direction,
@@ -120,6 +128,8 @@ def _make_train_loader(opt, spec):
 
 
 def setup_train(opt) -> Tuple[Trainer, Any]:
+    if opt.model == "spade":
+        return setup_train_spade(opt)
     cli.set_seed(opt.seed)
     spec = cli.transform_spec(opt)
     loader = _make_train_loader(opt, spec)
@@ -295,6 +305,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
+        packed_blocks=bool(opt.packed_blocks),
         init_type=opt.init_type, init_gain=opt.init_gain,
     )
     task = SPADETask(gen_cfg, d_cfg, hp, vgg_variables=cli.make_vgg(opt),
@@ -447,6 +458,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         no_TTUR=opt.no_TTUR,
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
+        compute_dtype=opt.compute_dtype,
+        packed_blocks=bool(opt.packed_blocks),
         init_type=opt.init_type,
         init_gain=opt.init_gain,
     )

@@ -49,7 +49,8 @@ def _build() -> str:
                 os.unlink(os.path.join(_DIR, name))
             except OSError:
                 pass
-    tmp = so_path + ".tmp"
+    tmp = f"{so_path}.{os.getpid()}.tmp"  # unique per process: concurrent
+    # first-use builds must not publish each other's half-written objects
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
         "-o", tmp, "-ljpeg", "-lpng", "-pthread",

@@ -104,8 +104,10 @@ class SPADEHParams:
     init_type: str = "xavier"
     init_gain: float = 0.02
     # evaluate SPADE blocks with branch-packed convolutions (identical math
-    # and parameter tree; models/spade.py SPADEBlock docstring)
-    packed_blocks: bool = True
+    # and parameter tree; models/spade.py SPADEBlock docstring).  Measured
+    # on-chip at gaugan-teacher scale: fwd +4.5%, fwd+bwd -3% — default
+    # OFF for training (unlike the inception path, where packing is +10%)
+    packed_blocks: bool = False
     # 'float32' | 'bfloat16' — bf16 generator compute with f32 master
     # weights, norm statistics and losses (same contract as the SPADE
     # distiller's compute_dtype)
@@ -260,12 +262,17 @@ class SPADETask:
 
         # --- D update: regenerate fake from the UPDATED G, no grad ---
         fake, _ = self._apply_g(down(g_params), g_stats, sem, train=True)
-        fake = jax.lax.stop_gradient(down(up(fake)))
+        fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
+            # down() params AND reals: the whole D update runs in compute
+            # dtype and both classes reach D at the same precision (same
+            # contract as SPADEDistiller's D step)
             pred_fake, pred_real, d_stats = self._discriminate(
-                d_params, state.d.stats, sem, fake, real_B, train=True, mutable=True
+                down(d_params), state.d.stats, sem, fake, down(real_B),
+                train=True, mutable=True
             )
+            pred_fake, pred_real = up(pred_fake), up(pred_real)
             l_fake = gan_loss(pred_fake, False, hp.gan_mode, True)
             l_real = gan_loss(pred_real, True, hp.gan_mode, True)
             return l_fake + l_real, (l_fake, l_real, d_stats)

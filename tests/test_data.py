@@ -145,3 +145,45 @@ def test_scale_width_preprocess(tmp_path):
     arr = apply_transform(img, spec, None)
     assert arr.shape[1] == 64  # width scaled
     assert arr.shape[0] == 32  # aspect kept
+
+
+def test_worker_backends_bit_identical(tmp_path):
+    """RNG-bearing transforms (random crop/flip/B-pairing): thread and
+    fork-process backends must produce the exact serial sample stream —
+    randomness is drawn serially in prepare(), workers only decode."""
+    import numpy as np
+    from PIL import Image
+
+    from cat_tpu.data.datasets import UnalignedDataset
+    from cat_tpu.data.loader import DataLoader
+    from cat_tpu.data.transforms import TransformSpec
+
+    rs = np.random.RandomState(5)
+    for side, n in (("trainA", 6), ("trainB", 5)):
+        d = tmp_path / side
+        d.mkdir()
+        for i in range(n):
+            Image.fromarray(
+                rs.randint(0, 256, (40, 36, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+
+    spec = TransformSpec(preprocess="resize_and_crop", load_size=36,
+                         crop_size=32, no_flip=False)
+
+    def stream(worker_mode, num_workers):
+        ds = UnalignedDataset(str(tmp_path), "train", spec, seed=3)
+        loader = DataLoader(ds, 2, shuffle=True, seed=9, drop_last=True,
+                            num_workers=num_workers, worker_mode=worker_mode)
+        out = list(loader)
+        loader.close()
+        return out
+
+    ref = stream("thread", 0)  # serial
+    for mode, nw in (("thread", 4), ("process", 3)):
+        got = stream(mode, nw)
+        assert len(got) == len(ref)
+        for bg, br in zip(got, ref):
+            assert bg["A_paths"] == br["A_paths"]
+            assert bg["B_paths"] == br["B_paths"]
+            np.testing.assert_array_equal(bg["A"], br["A"])
+            np.testing.assert_array_equal(bg["B"], br["B"])

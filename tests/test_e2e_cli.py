@@ -217,3 +217,47 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
     ])
     saved = glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
     assert saved, "per-epoch student checkpoint missing (device-data path)"
+
+
+def test_train_cli_spade(tmp_path):
+    """train --model spade end to end (regression: compute_dtype was only
+    defined on the distill parser and setup_train_spade crashed)."""
+    import numpy as np
+    from PIL import Image
+
+    from cat_tpu.entry import train_main
+
+    rng = np.random.RandomState(0)
+    city = tmp_path / "gtFine" / "train" / "cityA"
+    photos = tmp_path / "leftImg8bit" / "train" / "cityA"
+    os.makedirs(city)
+    os.makedirs(photos)
+    for i in range(2):
+        base = f"cityA_{i:06d}_000019"
+        lab = rng.randint(0, 4, size=(64, 64), dtype=np.uint8)
+        Image.fromarray(lab).save(city / f"{base}_gtFine_labelIds.png")
+        Image.fromarray(lab).save(city / f"{base}_gtFine_instanceIds.png")
+        img = rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        Image.fromarray(img).save(photos / f"{base}_leftImg8bit.png")
+
+    log_dir = str(tmp_path / "logs")
+    train_main([
+        "--dataroot", str(tmp_path),
+        "--model", "spade",
+        "--dataset_mode", "cityscapes",
+        "--input_nc", "4",
+        "--netG", "inception_spade",
+        "--num_upsampling_layers", "normal",
+        "--crop_size", "64", "--load_size", "64",
+        "--aspect_ratio", "1.0",
+        "--ngf", "4", "--ndf", "4", "--num_D", "2",
+        "--batch_size", "2",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--lambda_vgg", "0",
+        "--compute_dtype", "bfloat16",
+        "--log_dir", log_dir,
+        "--inception_path", "/nonexistent.pth",
+    ])
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
