@@ -272,7 +272,13 @@ def _to_dict(obj: Any) -> Any:
 
 def _from_dict(d: Any) -> Any:
     if isinstance(d, dict) and "__type__" in d:
-        cls = _CONFIG_TYPES[d["__type__"]]
+        cls = _CONFIG_TYPES.get(d["__type__"])
+        if cls is None:
+            # SPADE config types register on module import; a checkpoint
+            # sidecar may be deserialised before any SPADE code path ran
+            import cat_tpu.core.spade_config  # noqa: F401
+
+            cls = _CONFIG_TYPES[d["__type__"]]
         kwargs = {}
         for f in dataclasses.fields(cls):
             if f.name in d:

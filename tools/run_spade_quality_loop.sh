@@ -1,0 +1,91 @@
+#!/usr/bin/env bash
+# GauGAN (SPADE) end-to-end quality loop on the attached chip — the
+# cityscapes counterpart of tools/run_quality_loop.sh.  Zero-egress stand-in:
+# procedural cityscapes-format scenes (tools/make_synth_cityscapes.py) and
+# the judge-layout random-weight InceptionV3; trajectories are meaningful,
+# absolute FID values are judge-relative.
+#
+# teacher train -> real stats -> shrink+distill -> evaluate -> export
+# Usage: bash tools/run_spade_quality_loop.sh [workdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+PY=${QL_PYTHON:-python}
+
+WORK=${1:-/tmp/spade_quality}
+DATA=$WORK/city
+JUDGE=$WORK/judges/pt_inception_random.pth
+EPOCHS=${QL_EPOCHS:-20}
+DECAY=${QL_DECAY:-20}
+DEPOCHS=${QL_DEPOCHS:-30}
+DDECAY=${QL_DDECAY:-30}
+BATCH=${QL_BATCH:-8}
+WIDTH=${QL_WIDTH:-256}
+NTRAIN=${QL_NTRAIN:-200}
+NVAL=${QL_NVAL:-32}
+NGF=${QL_NGF:-32}
+SNGF=${QL_SNGF:-16}
+CLASSES=${QL_CLASSES:-8}
+CDT=${QL_CDT:-bfloat16}
+# semantic channels = classes + instance edge; aspect 2 -> height = width/2
+COMMON="--dataset_mode cityscapes --input_nc $CLASSES \
+  --crop_size $WIDTH --load_size $WIDTH --aspect_ratio 2.0 \
+  --netG inception_spade --num_upsampling_layers normal \
+  --norm_G spadesyncbatch3x3 --gan_mode hinge --lambda_vgg 0"
+
+mkdir -p "$WORK"
+
+[ -d "$DATA/gtFine/train" ] || $PY tools/make_synth_cityscapes.py \
+  --out "$DATA" --n "$NTRAIN" --n_val "$NVAL" \
+  --height $((WIDTH / 2)) --width "$WIDTH" --classes "$CLASSES"
+[ -f "$JUDGE" ] || $PY tools/make_fixtures.py judges --out "$WORK/judges"
+
+[ -f "$WORK/real_stat.npz" ] || $PY get_real_stat.py \
+  --dataroot "$DATA/leftImg8bit/val" --dataset_mode single --phase val \
+  --output_path "$WORK/real_stat.npz" \
+  --inception_path "$JUDGE" \
+  --crop_size "$WIDTH" --load_size "$WIDTH" --aspect_ratio 2.0 \
+  --preprocess none
+
+$PY train.py --dataroot "$DATA" \
+  --model spade $COMMON \
+  --log_dir "$WORK/teacher" \
+  --real_stat_path "$WORK/real_stat.npz" \
+  --inception_path "$JUDGE" \
+  --batch_size "$BATCH" \
+  --ngf "$NGF" --ndf 64 --num_D 2 \
+  --nepochs "$EPOCHS" --nepochs_decay "$DECAY" \
+  --save_epoch_freq 10 \
+  --compute_dtype "$CDT"
+
+TCKPT="$WORK/teacher/checkpoints/best_net_G.msgpack"
+[ -f "$TCKPT" ] || TCKPT="$WORK/teacher/checkpoints/latest_net_G.msgpack"
+
+$PY distill.py --dataroot "$DATA" \
+  --distiller spade $COMMON \
+  --log_dir "$WORK/student" \
+  --restore_teacher_G_path "$TCKPT" \
+  --real_stat_path "$WORK/real_stat.npz" \
+  --inception_path "$JUDGE" \
+  --nepochs "$DEPOCHS" --nepochs_decay "$DDECAY" \
+  --teacher_ngf "$NGF" --student_ngf "$SNGF" --ndf 64 --num_D 2 \
+  --batch_size "$BATCH" \
+  --eval_batch_size 8 \
+  --save_epoch_freq 10 \
+  --distill_G_loss_type ka \
+  --lambda_distill 1.0 \
+  --compute_dtype "$CDT"
+
+SCKPT="$WORK/student/checkpoints/best_net_G.msgpack"
+[ -f "$SCKPT" ] || SCKPT="$WORK/student/checkpoints/latest_net_G.msgpack"
+
+$PY export.py --dataroot "$DATA" \
+  --dataset_mode cityscapes --input_nc "$CLASSES" \
+  --crop_size "$WIDTH" --load_size "$WIDTH" --aspect_ratio 2.0 \
+  --netG inception_spade --num_upsampling_layers normal \
+  --norm_G spadesyncbatch3x3 \
+  --log_dir "$WORK/student" \
+  --restore_teacher_G_path "$TCKPT" \
+  --pretrained_student_G_path "$SCKPT" \
+  --export_format stablehlo
+
+echo "SPADE QUALITY LOOP COMPLETE: $WORK"
