@@ -145,7 +145,9 @@ def macs_at_threshold(
 
 def _topk_mask(gam: np.ndarray, k: int) -> np.ndarray:
     """Keep channels with |scale| >= the k-th largest (reference uses >=, so
-    ties may keep more than k — utils/common.py:454-461)."""
+    ties may keep more than k — utils/common.py:454-461).  A floor larger
+    than the layer's width keeps every channel."""
+    k = min(k, len(gam))
     thresh = np.sort(gam)[::-1][k - 1]
     return gam >= thresh
 

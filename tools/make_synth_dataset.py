@@ -49,8 +49,10 @@ def _scene(rng, size, striped):
         mask = (u * u + v * v) < 1.0
         colour = rng.uniform(40, 215, 3)
         fill = np.broadcast_to(colour, (size, size, 3)).copy()
+        # period drawn unconditionally so the plain/striped renders of one
+        # seed consume identical RNG streams (paired mode)
+        period = rng.uniform(6, 14)
         if striped:
-            period = rng.uniform(6, 14)
             stripes = (np.sin(2 * np.pi * u * ax / period) > 0).astype(np.float32)
             dark = colour * 0.25
             fill = stripes[..., None] * colour + (1 - stripes[..., None]) * dark
@@ -68,6 +70,21 @@ def write_split(out, name, n, size, striped, seed):
         Image.fromarray(arr).save(os.path.join(out, name, f"{name}_{i:05d}.png"))
 
 
+def write_pairs(out, name, n, size, seed):
+    """Aligned (pix2pix) format: A|B side-by-side composites in <name>/,
+    plus the raw B halves in <name>B/ (FID real statistics)."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(out, name), exist_ok=True)
+    os.makedirs(os.path.join(out, name + "B"), exist_ok=True)
+    for i in range(n):
+        a = _scene(np.random.default_rng(seed * 1009 + i), size, False)
+        b = _scene(np.random.default_rng(seed * 1009 + i), size, True)
+        Image.fromarray(np.concatenate([a, b], axis=1)).save(
+            os.path.join(out, name, f"{name}_{i:05d}.png"))
+        Image.fromarray(b).save(os.path.join(out, name + "B", f"{name}_{i:05d}.png"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -75,7 +92,17 @@ def main():
     ap.add_argument("--n_val", type=int, default=64)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--paired", action="store_true",
+                    help="aligned pix2pix format (train/, val/ AB composites "
+                         "with identical geometry per pair) instead of the "
+                         "unaligned trainA/trainB split")
     args = ap.parse_args()
+    if args.paired:
+        write_pairs(args.out, "train", args.n, args.size, args.seed)
+        write_pairs(args.out, "val", args.n_val, args.size, args.seed + 1)
+        print(f"wrote {args.n} train + {args.n_val} val AB pairs at "
+              f"{args.size}px to {args.out}")
+        return
     write_split(args.out, "trainA", args.n, args.size, False, args.seed)
     write_split(args.out, "trainB", args.n, args.size, True, args.seed + 1)
     write_split(args.out, "valA", args.n_val, args.size, False, args.seed + 2)
