@@ -45,9 +45,11 @@ def base_arguments(parser: argparse.ArgumentParser):
                    help="rematerialise generator forwards inside the train "
                         "step (jax.checkpoint): ~1/3 more generator FLOPs "
                         "for a large activation-memory cut")
-    p.add_argument("--packed_blocks", type=int, default=1, choices=[0, 1],
-                   help="evaluate inception blocks with branch-packed convs "
-                        "(identical math and parameter tree; wide-MXU execution)")
+    p.add_argument("--packed_blocks", type=int, default=None, choices=[0, 1],
+                   help="evaluate multi-branch blocks with branch-packed "
+                        "convs (identical math and parameter tree). Default "
+                        "per family: ON for inception (+10%% measured), OFF "
+                        "for SPADE (measured neutral)")
     p.add_argument("--init_type", type=str, default="normal",
                    choices=["normal", "xavier", "kaiming", "orthogonal"])
     p.add_argument("--init_gain", type=float, default=0.02)

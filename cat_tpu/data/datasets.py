@@ -117,7 +117,7 @@ class AlignedDataset:
         values as direct iteration).  ``load`` is then pure, so worker
         backends produce a bit-identical, deterministic stream."""
         path = self.paths[index]
-        w, h = _image_size(path, self.cache)
+        w, h = _image_size(path, self.cache, self.spec)
         params = get_params(self.spec, (w // 2, h), self.rng)
         return (path, params)
 

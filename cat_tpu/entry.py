@@ -29,6 +29,13 @@ from cat_tpu.utils import checkpoint as ckpt
 from cat_tpu.utils.logger import Logger
 
 
+def _packed(opt, family_default: bool) -> bool:
+    """--packed_blocks tri-state: None keeps the family default (inception
+    ON, SPADE OFF — see the measured numbers in PARITY.md)."""
+    v = getattr(opt, "packed_blocks", None)
+    return family_default if v is None else bool(v)
+
+
 def _mesh_or_none(opt):
     sp = getattr(opt, "n_spatial", 1)
     n = opt.n_devices if opt.n_devices > 0 else len(jax.devices()) // max(sp, 1)
@@ -103,6 +110,7 @@ def _make_train_loader(opt, spec):
     if getattr(opt, "on_device_data", 0):
         supported = (opt.dataset_mode == "unaligned"
                      and spec.preprocess == "resize_and_crop"
+                     and not spec.grayscale
                      and not opt.serial_batches)
         if not supported:
             print("WARNING: --on_device_data supports unaligned "
@@ -146,7 +154,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             gan_mode=opt.gan_mode, recon_loss_type=opt.recon_loss_type,
             lambda_gan=opt.lambda_gan, lambda_recon=opt.lambda_recon,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
-            packed_blocks=bool(opt.packed_blocks),
+            packed_blocks=_packed(opt, True),
         )
         d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
         task = Pix2PixTask(gen_cfg, d_cfg, hp)
@@ -194,7 +202,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             gan_mode=opt.gan_mode, lambda_A=opt.lambda_A, lambda_B=opt.lambda_B,
             lambda_identity=opt.lambda_identity, pool_size=opt.pool_size,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
-            packed_blocks=bool(opt.packed_blocks),
+            packed_blocks=_packed(opt, True),
             remat=bool(getattr(opt, "remat", 0)),
         )
         d_cfg = cli.discriminator_config(opt, opt.output_nc)
@@ -238,9 +246,6 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
                           evaluate_fn, save_fn, logger, device_put_fn=shard)
         return trainer, state
-
-    if opt.model == "spade":
-        return setup_train_spade(opt)
 
     raise NotImplementedError(f"model [{opt.model}]")
 
@@ -305,7 +310,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
-        packed_blocks=bool(opt.packed_blocks),
+        packed_blocks=_packed(opt, False),
         init_type=opt.init_type, init_gain=opt.init_gain,
     )
     task = SPADETask(gen_cfg, d_cfg, hp, vgg_variables=cli.make_vgg(opt),
@@ -459,7 +464,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
-        packed_blocks=bool(opt.packed_blocks),
+        packed_blocks=_packed(opt, False),
         init_type=opt.init_type,
         init_gain=opt.init_gain,
     )
@@ -573,7 +578,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         mapping_layers=mapping,
         compute_dtype=opt.compute_dtype,
         fused_norms=opt.fused_norms,
-        packed_blocks=bool(opt.packed_blocks),
+        packed_blocks=_packed(opt, True),
     )
     dist = InceptionDistiller(teacher_cfg, student_cfg, hp=hp)
     state, teacher_vars = dist.init_state(

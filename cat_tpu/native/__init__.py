@@ -42,9 +42,12 @@ def _build() -> str:
     so_path = os.path.join(_DIR, f"_image_pipe_{tag}.so")
     if os.path.exists(so_path):
         return so_path
-    # stale builds from older source revisions
+    # stale builds from older source revisions + orphaned temp objects
+    # from crashed builds
     for name in os.listdir(_DIR):
-        if name.startswith("_image_pipe_") and name.endswith(".so"):
+        if name.startswith("_image_pipe_") and (
+            name.endswith(".so") or name.endswith(".tmp")
+        ):
             try:
                 os.unlink(os.path.join(_DIR, name))
             except OSError:

@@ -64,3 +64,34 @@ def test_transfer_head_keeps_output_channels():
         np.asarray(dst["head"]["bias"]), np.asarray(src["head"]["bias"])
     )
     assert np.asarray(dst["head"]["kernel"]).shape == (7, 7, 4, 3)
+
+
+def test_transfer_into_pruned_config(rng):
+    """Reference parity: --restore_pretrained_G_path fires TOGETHER with
+    --target_flops (train_inception_student_2p6B.sh passes both;
+    inception_distiller.py:194-200 always transfers) — the magnitude
+    transfer must accept a shrink-pruned (irregular-width) student."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cat_tpu.compress.profiling import profile_generator
+    from cat_tpu.compress.shrink import PruneBounds, shrink_generator
+    from cat_tpu.models.generator import InceptionGenerator
+
+    cfg = make_cfg(ngf=8)
+    gen = InceptionGenerator(cfg)
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rs = np.random.RandomState(0)
+    v = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rs.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ), v)
+    full = profile_generator(cfg, 32, 32).macs
+    res = shrink_generator(cfg, v, full * 0.5, 32, 32, PruneBounds(cin_lb=2))
+    sp = transfer_generator_params(v["params"], cfg, res.config)
+    sv = InceptionGenerator(res.config).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(sv["params"])):
+        assert np.asarray(a).shape == np.asarray(b).shape
