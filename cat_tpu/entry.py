@@ -539,10 +539,13 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         student_cfg = cli.generator_config(opt, opt.student_ngf)
         student_vars = None
 
-    # optional: magnitude weight transfer from a wide pretrained generator
-    # (reference inception_distiller.load_networks:190-202; note the shipped
-    # flow discards this when the student is re-initialised after shrink)
-    if opt.restore_pretrained_G_path and student_vars is None and opt.target_flops <= 0:
+    # magnitude weight transfer from a wide pretrained generator into the
+    # student — INCLUDING a shrink-pruned student: the reference's shipped
+    # student recipes pass --restore_pretrained_G_path together with
+    # --target_flops and load_pretrained_weight always fires
+    # (inception_distiller.py:194-200, train_inception_student_2p6B.sh);
+    # --prune_init sliced takes precedence when set
+    if opt.restore_pretrained_G_path and student_vars is None:
         from cat_tpu.compress.transfer import transfer_generator_params
 
         p_cfg, p_vars = cli.load_generator_checkpoint(

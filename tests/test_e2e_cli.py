@@ -201,6 +201,7 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
         "--dataset_mode", "unaligned",
         "--on_device_data", "1",
         "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--restore_pretrained_G_path", os.path.join(tdir, "best_net_G.msgpack"),
         "--target_flops", str(target),
         "--prune_cin_lb", "2",
         "--log_dir", log_dir,
@@ -217,6 +218,10 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
     ])
     saved = glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
     assert saved, "per-epoch student checkpoint missing (device-data path)"
+    # reference parity: the pretrained transfer fires together with
+    # --target_flops (the shipped student recipes pass both)
+    log = open(os.path.join(log_dir, "log.txt")).read()
+    assert "Pretrained weights transferred" in log
 
 
 def test_train_cli_spade(tmp_path):
