@@ -182,6 +182,10 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         def save_fn(state, tag):
             ckpt.save_net(save_dir, tag, "G", {"params": state.g.params,
                                                "batch_stats": state.g.stats}, gen_cfg)
+            # per-net D checkpoint: the reference's student recipes restore
+            # the teacher's D (--restore_D_path, train_inception_student*.sh)
+            ckpt.save_net(save_dir, tag, "D", {"params": state.d.params,
+                                               **state.d.stats}, d_cfg)
             ckpt.save_train_state(save_dir, tag, state)
 
         task_state_box = [state]
@@ -236,6 +240,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             for name in ("A", "B"):
                 ckpt.save_net(save_dir, tag, f"G_{name}",
                               {"params": state.g.params[name]}, gen_cfg)
+                ckpt.save_net(save_dir, tag, f"D_{name}",
+                              {"params": state.d.params[name]}, d_cfg)
             ckpt.save_train_state(save_dir, tag, state)
 
         def step_fn(state, batch, lr):
@@ -336,6 +342,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     def save_fn(state, tag):
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params, **state.g.stats}, gen_cfg)
+        ckpt.save_net(save_dir, tag, "D",
+                      {"params": state.d.params, **state.d.stats}, d_cfg)
         ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
@@ -583,11 +591,29 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         fused_norms=opt.fused_norms,
         packed_blocks=_packed(opt, True),
     )
-    dist = InceptionDistiller(teacher_cfg, student_cfg, hp=hp)
+    d_in = (teacher_cfg.input_nc + teacher_cfg.output_nc
+            if opt.dataset_mode == "aligned" else teacher_cfg.output_nc)
+    dist = InceptionDistiller(teacher_cfg, student_cfg,
+                              disc_cfg=cli.discriminator_config(opt, d_in),
+                              hp=hp)
     state, teacher_vars = dist.init_state(
         jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size,
         teacher_vars, student_vars,
     )
+    if opt.restore_D_path:
+        # warm-start the discriminator from a teacher-training checkpoint
+        # (the reference's student recipes pass the teacher's best D —
+        # train_inception_student_2p6B.sh --restore_D_path; weights only,
+        # fresh optimizer, matching reference load_network semantics)
+        d_vars = ckpt.load_pytree(opt.restore_D_path,
+                                  {"params": state.d.params, **state.d.stats})
+        state = state.replace(
+            d=state.d.replace(
+                params=d_vars["params"],
+                stats={k: v for k, v in d_vars.items() if k != "params"},
+            )
+        )
+        print(f"restored D from {opt.restore_D_path}")
     mesh = _mesh_or_none(opt)
     state, teacher_vars, shard = _place(state, teacher_vars, mesh)
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:

@@ -192,6 +192,16 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
     tdir = str(tmp_path / "teacher")
     ckpt.save_net(tdir, "best", "G", variables, cfg)
 
+    # a matching teacher discriminator checkpoint (reference recipes pass
+    # --restore_D_path; weights-only warm start)
+    from cat_tpu.core.config import NLayerDiscriminatorConfig
+    from cat_tpu.models.discriminators import NLayerDiscriminator
+
+    d_cfg = NLayerDiscriminatorConfig(input_nc=3, ndf=8)
+    d_vars = NLayerDiscriminator(d_cfg).init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+    ckpt.save_net(tdir, "best", "D", d_vars, d_cfg)
+
     from cat_tpu.compress.profiling import profile_generator
 
     target = profile_generator(cfg, 32, 32).macs * 0.5
@@ -202,6 +212,7 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
         "--on_device_data", "1",
         "--restore_teacher_G_path", os.path.join(tdir, "best_net_G.msgpack"),
         "--restore_pretrained_G_path", os.path.join(tdir, "best_net_G.msgpack"),
+        "--restore_D_path", os.path.join(tdir, "best_net_D.msgpack"),
         "--target_flops", str(target),
         "--prune_cin_lb", "2",
         "--log_dir", log_dir,

@@ -61,6 +61,7 @@ $PY distill.py --dataroot "$DATA" \
   --log_dir "$WORK/student" \
   --restore_teacher_G_path "$TCKPT" \
   --restore_pretrained_G_path "$TCKPT" \
+  --restore_D_path "${TCKPT/net_G/net_D}" \
   --real_stat_path "$WORK/real_stat.npz" \
   --inception_path "$JUDGE" \
   --nepochs "$DEPOCHS" --nepochs_decay "$DDECAY" \
