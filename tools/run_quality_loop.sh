@@ -69,6 +69,11 @@ $PY train.py --dataroot "$DATA" \
 
 TCKPT="$WORK/teacher/checkpoints/best_A_net_G_A.msgpack"
 [ -f "$TCKPT" ] || TCKPT="$WORK/teacher/checkpoints/latest_net_G_A.msgpack"
+# teacher D warm start (reference student recipes pass --restore_D_path);
+# guarded: teacher dirs from before per-net D saving lack the file
+DCKPT="${TCKPT/net_G_A/net_D_A}"
+DREST=""
+[ -f "$DCKPT" ] && DREST="--restore_D_path $DCKPT"
 
 $PY distill.py --dataroot "$DATA" \
   --dataset_mode unaligned \
@@ -77,6 +82,7 @@ $PY distill.py --dataroot "$DATA" \
   --log_dir "$WORK/student2p6B" \
   --restore_teacher_G_path "$TCKPT" \
   --restore_pretrained_G_path "$TCKPT" \
+  $DREST \
   --real_stat_path "$WORK/real_stat_B.npz" \
   --inception_path "$JUDGE" \
   --nepochs "$DEPOCHS" --nepochs_decay "$DDECAY" \
