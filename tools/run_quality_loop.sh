@@ -60,7 +60,7 @@ $PY train.py --dataroot "$DATA" \
   --real_stat_B_path "$WORK/real_stat_B.npz" \
   --inception_path "$JUDGE" \
   --batch_size "$BATCH" $COMMON \
-  --ngf "$NGF" \
+  --ngf "$NGF" --ndf 64 \
   --nepochs "$EPOCHS" --nepochs_decay "$DECAY" \
   --save_epoch_freq 10 \
   --norm_affine --norm_affine_D \
