@@ -484,6 +484,18 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         jax.random.PRNGKey(opt.seed),
         int(opt.crop_size / opt.aspect_ratio), opt.crop_size, teacher_vars,
     )
+    if opt.restore_D_path:
+        # teacher-D warm start, weights+spectral state, fresh optimizer
+        # (reference gaugan student recipes pass --restore_D_path)
+        d_vars = ckpt.load_pytree(opt.restore_D_path,
+                                  {"params": state.d.params, **state.d.stats})
+        state = state.replace(
+            d=state.d.replace(
+                params=d_vars["params"],
+                stats={k: v for k, v in d_vars.items() if k != "params"},
+            )
+        )
+        print(f"restored D from {opt.restore_D_path}")
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
         f.write(config_to_json(student_cfg))
     if opt.prune_only:

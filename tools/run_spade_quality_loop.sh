@@ -59,11 +59,15 @@ $PY train.py --dataroot "$DATA" \
 
 TCKPT="$WORK/teacher/checkpoints/best_net_G.msgpack"
 [ -f "$TCKPT" ] || TCKPT="$WORK/teacher/checkpoints/latest_net_G.msgpack"
+DCKPT="${TCKPT/net_G/net_D}"
+DREST=""
+[ -f "$DCKPT" ] && DREST="--restore_D_path $DCKPT"
 
 $PY distill.py --dataroot "$DATA" \
   --distiller spade $COMMON \
   --log_dir "$WORK/student" \
   --restore_teacher_G_path "$TCKPT" \
+  $DREST \
   --real_stat_path "$WORK/real_stat.npz" \
   --inception_path "$JUDGE" \
   --nepochs "$DEPOCHS" --nepochs_decay "$DDECAY" \
