@@ -36,6 +36,23 @@ def _packed(opt, family_default: bool) -> bool:
     return family_default if v is None else bool(v)
 
 
+def _maybe_restore_state(opt, state):
+    """--restore_state_path: resume the FULL train state (params, Adam
+    moments, norm stats, RNG, pools) saved by every save_fn as
+    <tag>_state.msgpack; pair with --epoch_base/--iter_base to continue
+    the schedule (reference epoch_base semantics).  --restore_G_path /
+    --restore_A_path load individual nets where wired; --restore_O_path
+    is subsumed by the full-state restore."""
+    p = getattr(opt, "restore_state_path", None)
+    if p:
+        state = ckpt.load_pytree(p, state)
+        print(f"restored full train state from {p}")
+    if getattr(opt, "restore_O_path", None):
+        print("WARNING: --restore_O_path is subsumed by --restore_state_path "
+              "(full-state checkpoints carry optimizer moments); ignored.")
+    return state
+
+
 def _mesh_or_none(opt):
     sp = getattr(opt, "n_spatial", 1)
     n = opt.n_devices if opt.n_devices > 0 else len(jax.devices()) // max(sp, 1)
@@ -159,6 +176,14 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
         task = Pix2PixTask(gen_cfg, d_cfg, hp)
         state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+        if opt.restore_G_path:
+            gv = ckpt.load_pytree(opt.restore_G_path,
+                                  {"params": state.g.params,
+                                   "batch_stats": state.g.stats})
+            state = state.replace(g=state.g.replace(
+                params=gv["params"], stats=gv.get("batch_stats", state.g.stats)))
+            print(f"restored G from {opt.restore_G_path}")
+        state = _maybe_restore_state(opt, state)
         state, _, shard = _place(state, None, mesh)
 
         eval_loader = create_eval_dataloader(
@@ -212,6 +237,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         d_cfg = cli.discriminator_config(opt, opt.output_nc)
         task = CycleGANTask(gen_cfg, d_cfg, hp)
         state = task.init_state(jax.random.PRNGKey(opt.seed), opt.crop_size, opt.crop_size)
+        state = _maybe_restore_state(opt, state)
         state, _, shard = _place(state, None, mesh)
         task_state_box = [state]
 
@@ -324,6 +350,14 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     task.contain_dontcare = opt.contain_dontcare_label
     h_lat = int(opt.crop_size / opt.aspect_ratio)
     state = task.init_state(jax.random.PRNGKey(opt.seed), h_lat, opt.crop_size)
+    if opt.restore_G_path:
+        gv = ckpt.load_pytree(opt.restore_G_path,
+                              {"params": state.g.params, **state.g.stats})
+        state = state.replace(g=state.g.replace(
+            params=gv["params"],
+            stats={k: v for k, v in gv.items() if k != "params"}))
+        print(f"restored G from {opt.restore_G_path}")
+    state = _maybe_restore_state(opt, state)
     loader = create_cityscapes_dataloader(
         opt.dataroot, opt.batch_size, phase=opt.phase,
         load_size=opt.load_size, crop_size=opt.crop_size,
@@ -496,6 +530,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
             )
         )
         print(f"restored D from {opt.restore_D_path}")
+    state = _maybe_restore_state(opt, state)
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
         f.write(config_to_json(student_cfg))
     if opt.prune_only:
@@ -626,6 +661,14 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
             )
         )
         print(f"restored D from {opt.restore_D_path}")
+    if opt.restore_A_path:
+        av = ckpt.load_pytree(opt.restore_A_path,
+                              {"params": state.g.params["A"]})
+        g_params = dict(state.g.params)
+        g_params["A"] = av["params"]
+        state = state.replace(g=state.g.replace(params=g_params))
+        print(f"restored adaptors from {opt.restore_A_path}")
+    state = _maybe_restore_state(opt, state)
     mesh = _mesh_or_none(opt)
     state, teacher_vars, shard = _place(state, teacher_vars, mesh)
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:

@@ -277,3 +277,41 @@ def test_train_cli_spade(tmp_path):
         "--inception_path", "/nonexistent.pth",
     ])
     assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+
+
+def test_train_cli_resume_from_state(unaligned_root, tmp_path):
+    """--restore_state_path resumes the full train state (was parsed but
+    dead); --epoch_base continues the numbering."""
+    from cat_tpu.entry import train_main
+
+    log_dir = str(tmp_path / "logs")
+    args = [
+        "--dataroot", unaligned_root,
+        "--model", "cycle_gan",
+        "--dataset_mode", "unaligned",
+        "--ngf", "4", "--ndf", "4",
+        "--channels_reduction_factor", "2",
+        "--kernel_sizes", "1", "3",
+        "--n_blocks", "3",
+        "--batch_size", "2",
+        "--crop_size", "32", "--load_size", "36",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--gan_mode", "lsgan",
+        "--log_dir", log_dir,
+        "--inception_path", "/nonexistent.pth",
+    ]
+    train_main(args)
+    state_path = os.path.join(log_dir, "checkpoints", "1_state.msgpack")
+    assert os.path.exists(state_path)
+
+    log_dir2 = str(tmp_path / "logs2")
+    train_main(args[:-2] + [
+        "--inception_path", "/nonexistent.pth",
+        "--log_dir", log_dir2,
+        "--restore_state_path", state_path,
+        "--epoch_base", "2",
+    ])
+    assert glob.glob(os.path.join(log_dir2, "checkpoints", "2_net_G_A.*")), \
+        "resumed run should save epoch-2 checkpoints"
