@@ -246,6 +246,14 @@ def make_vgg(opt):
     return None
 
 
+# Deliberately-accepted-but-inert reference flags (kept so reference
+# recipes run verbatim): --netG/--teacher_netG/--student_netG (only the
+# inception families exist; architecture is recovered from checkpoint
+# config sidecars), --pretrained_netG/--pretrained_ngf (sidecars again),
+# --moving_average_decay (reference default 0.0; EMA path vestigial),
+# --prune_continue/--prune_logging_verbose (reference debug extras).
+
+
 def distill_arguments(parser: argparse.ArgumentParser):
     p = train_arguments(parser)
     spade_arguments(p)

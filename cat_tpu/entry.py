@@ -98,7 +98,7 @@ def make_miou_evaluator(opt, generate, eval_loader):
     model, variables = load_drnseg(opt.drn_path)
     return MIoUEvaluator(
         generate, eval_loader, model, variables, opt.table_path,
-        data_dir="", batch_size=opt.eval_batch_size,
+        data_dir=opt.cityscapes_path, batch_size=opt.eval_batch_size,
     )
 
 
