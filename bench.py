@@ -14,6 +14,7 @@ the reference repo publishes no absolute throughput numbers (BASELINE.md).
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -25,6 +26,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 COMPUTE_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 WARMUP = 3
 ITERS = 10
+
+_T0 = time.perf_counter()
+
+
+def log(msg: str) -> None:
+    """Progress timestamps on stderr so a timeout-killed run is diagnosable
+    (the driver's gate reads the LAST stdout JSON line only)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def build():
@@ -44,29 +54,35 @@ def build():
     from cat_tpu.train.common import init_on_cpu
 
     teacher = InceptionGenerator(teacher_cfg)
-    rng = jax.random.PRNGKey(233)
-    # init on host: eager dispatch on the accelerator pays a per-op compile
+    # raw uint32 threefry key: identical to jax.random.PRNGKey(233) without
+    # dispatching an eager program (over the axon tunnel every eager
+    # dispatch — even CPU-backend — pays an AOT-loader round trip)
+    import numpy as np
+
+    rng = np.array([0, 233], dtype=np.uint32)
+    # init on host: ONE jitted CPU program (train/common.init_on_cpu)
     teacher_vars = init_on_cpu(
         lambda: teacher.init(rng, jnp.zeros((1, SIZE, SIZE, 3)))
     )
+    log("teacher initialised")
 
     # Shrink a (randomly-initialised) teacher to the 2.6e9-MAC budget the
     # reference ships for horse2zebra; spread the scales first so the search
     # has signal (a trained teacher's scales are naturally spread).
-    import numpy as np
-
+    # Pure numpy — no eager device dispatches.
     def spread(tree, rs):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 out[k] = spread(v, rs)
             elif k == "scale":
-                out[k] = jnp.asarray(rs.uniform(0.05, 2.0, np.asarray(v).shape), jnp.float32)
+                out[k] = rs.uniform(0.05, 2.0, np.asarray(v).shape).astype(np.float32)
             else:
                 out[k] = v
         return out
 
     tv = {"params": spread(teacher_vars["params"], np.random.RandomState(0))}
+    log("scales spread; running shrink search")
     res = shrink_generator(teacher_cfg, tv, 2.6e9, SIZE, SIZE, PruneBounds(cin_lb=16))
 
     hp = DistillHParams(
@@ -81,9 +97,10 @@ def build():
         fused_norms=os.environ.get("BENCH_FUSED", "0") == "1",
         packed_blocks=os.environ.get("BENCH_PACKED", "1") == "1",
     )
+    log(f"shrink done ({res.searched_macs:,} MACs); initialising train state")
     dist = InceptionDistiller(teacher_cfg, res.config, hp=hp)
     state, teacher_vars = dist.init_state(
-        jax.random.PRNGKey(0), SIZE, SIZE, teacher_vars
+        np.array([0, 0], dtype=np.uint32), SIZE, SIZE, teacher_vars
     )
     return dist, state, teacher_vars, res
 
@@ -143,38 +160,14 @@ def _device_batches(dataroot, n):
         yield dd.sample(_jax.random.fold_in(key, s_), BATCH)
 
 
-def main():
-    dist, state, teacher_vars, res = build()
-    dataroot = os.environ.get("BENCH_DATA")
-    devdata = os.environ.get("BENCH_DEVICE_DATA")
-    rng = jax.random.PRNGKey(1)
-    batch = {
-        "A": jax.random.normal(rng, (BATCH, SIZE, SIZE, 3), jnp.float32),
-        "B": jax.random.normal(jax.random.fold_in(rng, 1), (BATCH, SIZE, SIZE, 3), jnp.float32),
-    }
-    for _ in range(WARMUP):
-        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-    float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
-    # unreliable over the axon tunnel for non-scalar futures)
-    if dataroot or devdata:
-        # feed the step from disk through the production input pipeline
-        stream = (_device_batches(devdata, WARMUP + ITERS) if devdata
-                  else _real_batches(dataroot, WARMUP + ITERS))
-        for _ in range(WARMUP):
-            state, metrics = dist.train_step(state, teacher_vars, next(stream), 2e-4)
-        float(metrics["G_loss/recon"])
-        t0 = time.perf_counter()
-        for b in stream:
-            state, metrics = dist.train_step(state, teacher_vars, b, 2e-4)
-        float(metrics["G_loss/recon"])
-    else:
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-        float(metrics["G_loss/recon"])
-    dt = time.perf_counter() - t0
-    ips = BATCH * ITERS / dt
+def _emit(ips: float, res, suffix: str = "") -> float:
+    """Print one driver-parsable JSON line; returns vs_baseline.
 
+    Called more than once per run (provisional line first, refined line
+    after): the driver reads the LAST stdout line, so a timeout mid-refine
+    still leaves a valid number — the round-2 gate produced rc=124 with no
+    output because the one-shot structure put the only print after ~20 min
+    of cold compile (VERDICT.md missing #1)."""
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)["images_per_sec"]
@@ -196,15 +189,76 @@ def main():
                 "metric": (
                     "horse2zebra KA-distill step throughput (teacher ngf64 + "
                     f"student @2.6e9 MACs, 256px, batch {BATCH}, {COMPUTE_DTYPE}"
-                    + (", disk-fed" if dataroot else "")
-                    + (", device-bank-fed" if devdata else "") + ")"
+                    + suffix + ")"
                 ),
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / base, 4),
             }
-        )
+        ),
+        flush=True,
     )
+    return ips / base
+
+
+def main():
+    log(f"building distiller (batch {BATCH}, {COMPUTE_DTYPE}); "
+        f"backend={jax.default_backend()}")
+    dist, state, teacher_vars, res = build()
+    log("state initialised (single jitted CPU init); compiling + running the "
+        "train step — a cold persistent cache pays one monolithic XLA compile "
+        "here, expect minutes")
+    dataroot = os.environ.get("BENCH_DATA")
+    devdata = os.environ.get("BENCH_DEVICE_DATA")
+    # numpy batch, device-put ONCE (a pure transfer, no eager compile;
+    # leaving it as numpy would re-ship ~200MB over the tunnel every step)
+    rs = __import__("numpy").random.RandomState(1)
+    batch = jax.device_put({
+        "A": rs.randn(BATCH, SIZE, SIZE, 3).astype("float32"),
+        "B": rs.randn(BATCH, SIZE, SIZE, 3).astype("float32"),
+    })
+    log("synthetic batch resident on device")
+    t_compile = time.perf_counter()
+    state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    float(metrics["G_loss/recon"])
+    log(f"first step done (compile+run {time.perf_counter() - t_compile:.1f}s)")
+    for _ in range(WARMUP - 1):
+        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
+    # unreliable over the axon tunnel for non-scalar futures)
+
+    # provisional number from a short synthetic-fed measurement, printed
+    # IMMEDIATELY — everything after this only refines it
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    float(metrics["G_loss/recon"])
+    vsb = _emit(BATCH * 3 / (time.perf_counter() - t0), res)
+    log(f"provisional line emitted (vs_baseline {vsb:.3f}); refining with "
+        f"{ITERS}-iter measurement")
+
+    if dataroot or devdata:
+        # feed the step from disk through the production input pipeline
+        stream = (_device_batches(devdata, WARMUP + ITERS) if devdata
+                  else _real_batches(dataroot, WARMUP + ITERS))
+        for _ in range(WARMUP):
+            state, metrics = dist.train_step(state, teacher_vars, next(stream), 2e-4)
+        float(metrics["G_loss/recon"])
+        t0 = time.perf_counter()
+        for b in stream:
+            state, metrics = dist.train_step(state, teacher_vars, b, 2e-4)
+        float(metrics["G_loss/recon"])
+    else:
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+        float(metrics["G_loss/recon"])
+    dt = time.perf_counter() - t0
+    ips = BATCH * ITERS / dt
+    vsb = _emit(ips, res,
+                (", disk-fed" if dataroot else "")
+                + (", device-bank-fed" if devdata else ""))
+    log(f"refined line emitted: {ips:.1f} img/s (vs_baseline {vsb:.3f})")
 
 
 if __name__ == "__main__":

@@ -62,6 +62,9 @@ class DistillHParams:
     # evaluate inception blocks with branch-packed convolutions (identical
     # math + param tree; full-width MXU work instead of ~42-lane branches)
     packed_blocks: bool = True
+    # rematerialise the student forward (jax.checkpoint): recompute instead
+    # of storing G activations in the backward — memory for FLOPs
+    remat: bool = False
 
 
 class Adaptor(nn.Module):
@@ -127,26 +130,28 @@ class InceptionDistiller:
         teacher_variables: Dict,
         student_variables: Optional[Dict] = None,
     ) -> Tuple[GANTrainState, Dict]:
-        """CPU-backend init + single placement (see common.init_on_cpu)."""
+        """CPU-backend init + single placement (see common.init_on_cpu).
+
+        ``teacher_variables`` are NOT threaded through the jitted init —
+        they are placed directly (keeping a multi-MB constant pytree out of
+        the compiled program's I/O keeps the one-time init compile small
+        over the remote-TPU tunnel)."""
         from cat_tpu.train.common import init_on_cpu, to_device
 
-        state, tv = init_on_cpu(
-            self._init_state, rng, height, width, teacher_variables, student_variables
-        )
-        return to_device(state), to_device(tv)
+        state = init_on_cpu(self._init_state, rng, height, width, student_variables)
+        return to_device(state), to_device(teacher_variables)
 
     def _init_state(
         self,
         rng: jax.Array,
         height: int,
         width: int,
-        teacher_variables: Dict,
         student_variables: Optional[Dict] = None,
-    ) -> Tuple[GANTrainState, Dict]:
-        """Build the train state.  ``teacher_variables`` are required (the
-        teacher is always restored from a checkpoint — reference
-        base_inception_distiller.py:342-347); the student is freshly
-        initialised unless given (e.g. prune_continue restores)."""
+    ) -> GANTrainState:
+        """Build the train state (the teacher is always restored from a
+        checkpoint — reference base_inception_distiller.py:342-347); the
+        student is freshly initialised unless given (e.g. prune_continue
+        restores)."""
         keys = jax.random.split(rng, 4)
         xa = jnp.zeros((1, height, width, self.teacher_cfg.input_nc))
         if student_variables is None:
@@ -168,13 +173,12 @@ class InceptionDistiller:
             )["params"]
 
         g_group = {"G": s_params, "A": a_params}
-        state = GANTrainState(
+        return GANTrainState(
             step=jnp.zeros((), jnp.int32),
             g=NetState(g_group, self.tx.init(g_group), s_stats),
             d=NetState(d_params, self.tx.init(d_params), d_stats),
             rng=keys[3],
         )
-        return state, teacher_variables
 
     # ------------------------------------------------------------------- step
 
@@ -248,6 +252,8 @@ class InceptionDistiller:
             )
             return (up(fake), up_acts(acts)), new_stats
 
+        if hp.remat:  # store inputs only; recompute the forward in the vjp
+            s_forward = jax.checkpoint(s_forward)
         (s_fake, s_acts), s_vjp, s_stats = jax.vjp(
             s_forward, state.g.params["G"], has_aux=True
         )

@@ -32,7 +32,29 @@ def init_on_cpu(fn, *args, **kwargs):
     args = jax.tree.map(move, args)
     kwargs = jax.tree.map(move, kwargs)
     with jax.default_device(cpu):
-        return fn(*args, **kwargs)
+        if jax.default_backend() == "cpu":
+            # local CPU runs (tests, CPU-only boxes): eager dispatch is
+            # cheap and jit compile time would dominate — run eagerly.
+            return fn(*args, **kwargs)
+        # Remote accelerator (axon tunnel): even CPU-backend eager ops pay
+        # an AOT-loader round-trip EACH, turning a flax ``init`` into
+        # minutes of latency — trace the whole init into ONE program.  It
+        # runs exactly once, so compile at XLA:CPU optimization level 0
+        # (~3x faster compile, measured 58s -> 21s on the flagship teacher
+        # init).  Fall back to eager if fn isn't traceable (host-side
+        # randomness, data-dependent control flow) or the backend rejects
+        # the compiler options.
+        try:
+            lowered = jax.jit(fn).lower(*args, **kwargs)
+            compiled = lowered.compile(
+                compiler_options={"xla_backend_optimization_level": "0"}
+            )
+            return compiled(*args, **kwargs)
+        except Exception:
+            try:
+                return jax.jit(fn)(*args, **kwargs)
+            except Exception:
+                return fn(*args, **kwargs)
 
 
 def to_device(tree: Any, device=None) -> Any:
