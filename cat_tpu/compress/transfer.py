@@ -27,6 +27,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 from cat_tpu.core.config import InceptionGeneratorConfig
+from cat_tpu.core.spade_config import SPADEGeneratorConfig
 
 
 def _topk_desc(q: np.ndarray, k: int) -> np.ndarray:
@@ -139,4 +140,138 @@ def transfer_generator_params(
     if "bias" in src_params["head"]:
         head["bias"] = np.asarray(src_params["head"]["bias"])
     out["head"] = head
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SPADE (inception_spade) transfer
+# ---------------------------------------------------------------------------
+
+
+def _conv_node(src: Dict, n_out: int, in_idx, out_idx=None):
+    """PlainConv / ConvNormActZ conv child: params live under 'conv'."""
+    new, idx = _transfer_conv(src["conv"], n_out, in_idx, out_idx)
+    return {"conv": new}, idx
+
+
+def _transfer_spade_mlp(src: Dict, src_layer, dst_layer, idx: np.ndarray) -> Dict:
+    """InceptionSPADE (the γ/β-producing net over the segmap).
+
+    Reference transfer_InceptionSPADE (utils/weight_transfer.py:186-213):
+    per branch, the first ConvSyncBNReLU is transferred with an identity
+    input index (the segmap channels are shared) and a top-k output
+    selection; the final conv maps the branch back to (γ‖β).
+
+    Documented deviations from the reference, both in the direction of
+    coherent math:
+      * the reference slices the final conv's output rows with the block's
+        input index alone (`transfer(layer1, layer2, idxs, input_index)`),
+        which has length norm_nc — but that conv emits 2*norm_nc rows
+        (γ concatenated with β), so torch silently assigns a wrong-shaped
+        tensor.  We select the matching γ AND β rows:
+        out_idx = [idx, idx + norm_nc_src].
+      * inside dw branches we keep the first conv's top-k selection through
+        the depthwise stage instead of re-selecting (same deviation as the
+        inception path, see module docstring).
+    """
+    nb: Dict = {}
+    assert len(idx) == dst_layer.norm_nc, (len(idx), dst_layer.norm_nc)
+    out_idx = np.concatenate([idx, np.asarray(idx) + src_layer.norm_nc])
+    for (bs, _, _), (bd, mid_d, _) in zip(src_layer.active_res, dst_layer.active_res):
+        node, mid_idx = _conv_node(src[f"res{bs}_in"], mid_d, None)
+        node["norm"] = _transfer_norm(src[f"res{bs}_in"]["norm"], mid_idx)
+        nb[f"res{bd}_in"] = node
+        conv, _ = _transfer_conv(src[f"res{bs}_out"], 2 * dst_layer.norm_nc,
+                                 mid_idx, out_idx=out_idx)
+        nb[f"res{bd}_out"] = conv
+    for (bs, _, _), (bd, mid_d, _) in zip(src_layer.active_dw, dst_layer.active_dw):
+        node, mid_idx = _conv_node(src[f"dw{bs}_in"], mid_d, None)
+        node["norm"] = _transfer_norm(src[f"dw{bs}_in"]["norm"], mid_idx)
+        nb[f"dw{bd}_in"] = node
+        mid = {"conv": _transfer_dw_conv(src[f"dw{bs}_mid"]["conv"], mid_idx)}
+        if "norm" in src[f"dw{bs}_mid"]:
+            mid["norm"] = _transfer_norm(src[f"dw{bs}_mid"]["norm"], mid_idx)
+        nb[f"dw{bd}_mid"] = mid
+        conv, _ = _transfer_conv(src[f"dw{bs}_out"], 2 * dst_layer.norm_nc,
+                                 mid_idx, out_idx=out_idx)
+        nb[f"dw{bd}_out"] = conv
+    return nb
+
+
+def _transfer_spade_block(src: Dict, src_b, dst_b, idx: np.ndarray):
+    """SPADEInvertedResidualChannels (weight_transfer.py:151-183).
+
+    The block's output index: the reference returns the learned shortcut's
+    top-k selection when fin != fout and the input index otherwise — the
+    next block's input slicing follows it.  Documented deviation: the
+    reference's branch loops test `isinstance(layer, ConvBNReLU/nn.Conv2d)`
+    against branches built from ConvSyncBNReLU/Conv wrappers, so they match
+    nothing and the branch convs silently keep their fresh init; we
+    transfer them with the same semantics as the non-SPADE block (first
+    conv top-k mid selection, final conv rows aligned to the block's output
+    index) — the coherent residual math."""
+    assert src_b.learned_shortcut == dst_b.learned_shortcut
+    assert len(idx) == dst_b.fin, (len(idx), dst_b.fin)
+    nb: Dict = {}
+    if not dst_b.is_empty:  # an empty block is shortcut-only (SPADEBlock)
+        spade_node = _transfer_spade_mlp(src["spade"], src_b.spade,
+                                         dst_b.spade, idx)
+        if spade_node:  # an empty γ/β net owns no params
+            nb["spade"] = spade_node
+    if src_b.learned_shortcut:
+        nb["shortcut_norm"] = _transfer_norm(src["shortcut_norm"], idx)
+        node, out_idx = _conv_node(src["shortcut_conv"], dst_b.fout, idx)
+        nb["shortcut_conv"] = node
+    else:
+        out_idx = idx
+    for (bs, _, _), (bd, mid_d, _) in zip(src_b.active_res, dst_b.active_res):
+        node, mid_idx = _conv_node(src[f"res{bs}_in"], mid_d, idx)
+        node["norm"] = _transfer_norm(src[f"res{bs}_in"]["norm"], mid_idx)
+        nb[f"res{bd}_in"] = node
+        conv_out, _ = _conv_node(src[f"res{bs}_out"], dst_b.fout, mid_idx,
+                                 out_idx=out_idx)
+        nb[f"res{bd}_out"] = conv_out
+    for (bs, _, _), (bd, mid_d, _) in zip(src_b.active_dw, dst_b.active_dw):
+        node, mid_idx = _conv_node(src[f"dw{bs}_in"], mid_d, idx)
+        node["norm"] = _transfer_norm(src[f"dw{bs}_in"]["norm"], mid_idx)
+        nb[f"dw{bd}_in"] = node
+        mid = {"conv": _transfer_dw_conv(src[f"dw{bs}_mid"]["conv"], mid_idx)}
+        if "norm" in src[f"dw{bs}_mid"]:
+            mid["norm"] = _transfer_norm(src[f"dw{bs}_mid"]["norm"], mid_idx)
+        nb[f"dw{bd}_mid"] = mid
+        conv_out, _ = _conv_node(src[f"dw{bs}_out"], dst_b.fout, mid_idx,
+                                 out_idx=out_idx)
+        nb[f"dw{bd}_out"] = conv_out
+    return nb, out_idx
+
+
+def transfer_spade_generator_params(
+    src_params: Dict,
+    src_cfg: SPADEGeneratorConfig,
+    dst_cfg: SPADEGeneratorConfig,
+) -> Dict:
+    """Build SPADE-student params from a wider pretrained generator.
+
+    Reference: load_pretrained_weight's 'inception_spade' chain
+    (utils/weight_transfer.py:262-288): fc -> fc_norm -> head_0 ->
+    G_middle_0/1 -> up_0..3 [-> up_4] -> conv_img, the selected channel
+    index threading block to block.  Consumed by --restore_pretrained_G_path
+    (spade_distiller_modules.py:33-46).  Params only — norm running stats
+    keep their fresh init, matching transfer_Norm (weight_transfer.py:83-94).
+    """
+    assert src_cfg.num_upsampling_layers == dst_cfg.num_upsampling_layers
+    assert src_cfg.semantic_nc == dst_cfg.semantic_nc
+    out: Dict = {}
+    fc, idx = _transfer_conv(src_params["fc"], dst_cfg.fc_channels, None)
+    out["fc"] = fc
+    out["fc_norm"] = _transfer_norm(src_params["fc_norm"], idx)
+    for name, src_b, dst_b in zip(src_cfg.block_names, src_cfg.blocks,
+                                  dst_cfg.blocks):
+        node, idx = _transfer_spade_block(src_params[name], src_b, dst_b, idx)
+        if node:  # identity block (empty, fin == fout) owns no params
+            out[name] = node
+    img = {"kernel": np.asarray(src_params["conv_img"]["kernel"])[:, :, idx, :]}
+    if "bias" in src_params["conv_img"]:
+        img["bias"] = np.asarray(src_params["conv_img"]["bias"])
+    out["conv_img"] = img
     return out

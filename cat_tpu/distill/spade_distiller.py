@@ -63,6 +63,9 @@ class SPADEDistillHParams:
     # on-chip at gaugan-teacher scale: fwd +4.5%, fwd+bwd -3% — default
     # OFF for training (unlike the inception path, where packing is +10%)
     packed_blocks: bool = False
+    # rematerialise the student forward (jax.checkpoint): activation memory
+    # for FLOPs — needed to reach the reference's 512x256 GauGAN crops
+    remat: bool = False
 
 
 class _Adaptor(nn.Module):
@@ -123,12 +126,22 @@ class SPADEDistiller:
     # ----------------------------------------------------------------- state
 
     def init_state(
-        self, rng: jax.Array, height: int, width: int, teacher_variables: Dict
+        self, rng: jax.Array, height: int, width: int, teacher_variables: Dict,
+        student_variables: Optional[Dict] = None,
     ) -> Tuple[GANTrainState, Dict]:
-        def build():
+        """``student_variables`` warm-starts the student: provided
+        collections (typically just 'params' from the pretrained weight
+        transfer, compress/transfer.py) override the fresh init; missing
+        collections (batch_stats) keep their init values — matching the
+        reference transfer_Norm, which never copies running statistics
+        (weight_transfer.py:83-94)."""
+
+        def build(rng, student_variables):
             kg, kd, ka_, ks = jax.random.split(rng, 4)
             seg = jnp.zeros((1, height, width, self.student_cfg.semantic_nc))
             sv = self.netG_student.init(kg, seg)
+            if student_variables is not None:
+                sv = {**sv, **student_variables}
             dv = self.netD.init(
                 kd, jnp.zeros((1, height, width, self.disc_cfg.input_nc))
             )
@@ -156,7 +169,7 @@ class SPADEDistiller:
                 rng=ks,
             )
 
-        state = to_device(init_on_cpu(build))
+        state = to_device(init_on_cpu(build, rng, student_variables))
         return state, to_device(teacher_variables)
 
     # ----------------------------------------------------------------- apply
@@ -241,10 +254,16 @@ class SPADEDistiller:
         t_acts = jax.lax.stop_gradient(up(t_acts))
 
         # --- G update (old D) ---
+        def s_fwd(params, stats, sem):
+            return self._apply(self.netG_student, params, stats, sem,
+                               train=True, taps=taps)
+
+        if hp.remat:  # store inputs only; recompute the forward in the vjp
+            s_fwd = jax.checkpoint(s_fwd)
+
         def g_loss_fn(g_group):
-            (fake, s_acts), g_stats = self._apply(
-                self.netG_student, down(g_group["G"]), state.g.stats, sem,
-                train=True, taps=taps,
+            (fake, s_acts), g_stats = s_fwd(
+                down(g_group["G"]), state.g.stats, sem
             )
             fake, s_acts = up(fake), up(s_acts)
             pf, pr, _ = self._discriminate(

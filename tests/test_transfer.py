@@ -95,3 +95,110 @@ def test_transfer_into_pruned_config(rng):
         jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
     for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(sv["params"])):
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+# ---------------------------------------------------------------------------
+# SPADE (inception_spade) transfer — reference weight_transfer.py:97-288
+# ---------------------------------------------------------------------------
+
+from cat_tpu.compress.transfer import transfer_spade_generator_params  # noqa: E402
+from cat_tpu.core.spade_config import SPADEGeneratorConfig  # noqa: E402
+from cat_tpu.models.spade import SPADEGenerator  # noqa: E402
+
+S_NC = 5
+S_SIZE = 32
+
+
+def spade_cfg(ngf):
+    return SPADEGeneratorConfig.make(
+        semantic_nc=S_NC, ngf=ngf, channels=None, channels_reduction_factor=4,
+        kernel_sizes=(1, 3), num_upsampling_layers="normal",
+        crop_size=S_SIZE, aspect_ratio=1.0, nhidden=16,
+    )
+
+
+def _spade_init(cfg, seed=0):
+    return SPADEGenerator(cfg).init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
+    )
+
+
+def test_spade_transfer_shapes_and_forward():
+    src_cfg, dst_cfg = spade_cfg(4), spade_cfg(2)
+    src = _spade_init(src_cfg)["params"]
+    dst_params = transfer_spade_generator_params(src, src_cfg, dst_cfg)
+
+    ref_vars = _spade_init(dst_cfg, seed=1)
+    ref_shapes = jax.tree.map(lambda x: x.shape, ref_vars["params"])
+    got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, dst_params)
+    assert ref_shapes == got_shapes
+
+    # forward runs with transferred params (fresh batch_stats)
+    variables = {**ref_vars, "params": dst_params}
+    y = SPADEGenerator(dst_cfg).apply(
+        variables, jnp.zeros((2, S_SIZE, S_SIZE, S_NC))
+    )
+    assert y.shape == (2, S_SIZE, S_SIZE, 3)
+
+
+def test_spade_transfer_value_semantics():
+    """Self-transfer with equal widths = pure magnitude permutation of the
+    fc trunk, threaded through fc_norm and the γ/β-producing convs."""
+    cfg = spade_cfg(2)
+    src = _spade_init(cfg)["params"]
+    same = transfer_spade_generator_params(src, cfg, cfg)
+
+    q = np.abs(np.asarray(src["fc"]["kernel"])).sum(axis=(0, 1, 2))
+    order = np.argsort(-q, kind="stable")
+    np.testing.assert_allclose(
+        np.asarray(same["fc"]["kernel"]),
+        np.asarray(src["fc"]["kernel"])[:, :, :, order],
+    )
+    np.testing.assert_allclose(
+        np.asarray(same["fc_norm"]["scale"]),
+        np.asarray(src["fc_norm"]["scale"])[order],
+    )
+    # head_0 has fin == fout and no learned shortcut: the γ and β halves of
+    # the SPADE mlp's final conv rows follow the SAME trunk permutation
+    # (the coherent version of the reference's
+    # `transfer(layer1, layer2, idxs, input_index)` at
+    # weight_transfer.py:193-213 — see compress/transfer.py docstring)
+    nc = cfg.blocks[0].spade.norm_nc
+    src_out = np.asarray(src["head_0"]["spade"]["res0_out"]["kernel"])
+    got_out = np.asarray(same["head_0"]["spade"]["res0_out"]["kernel"])
+    mid_q = np.abs(
+        np.asarray(src["head_0"]["spade"]["res0_in"]["conv"]["kernel"])
+    ).sum(axis=(0, 1, 2))
+    mid_order = np.argsort(-mid_q, kind="stable")
+    expect = src_out[:, :, mid_order, :][:, :, :, np.concatenate([order, order + nc])]
+    np.testing.assert_allclose(got_out, expect)
+    # conv_img inputs follow the final trunk index; outputs (RGB) untouched
+    np.testing.assert_allclose(
+        np.asarray(same["conv_img"]["bias"]), np.asarray(src["conv_img"]["bias"])
+    )
+
+
+def test_spade_transfer_into_pruned_student():
+    from cat_tpu.compress.shrink import PruneBounds
+    from cat_tpu.compress.spade import profile_spade_generator, shrink_spade_generator
+
+    cfg = spade_cfg(8)
+    v = _spade_init(cfg)
+    rs = np.random.RandomState(0)
+    v = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            jnp.asarray(rs.uniform(0.05, 2.0, x.shape), jnp.float32)
+            if path[-1].key == "scale" else x
+        ), v)
+    full = profile_spade_generator(cfg, S_SIZE, S_SIZE).macs
+    res = shrink_spade_generator(cfg, v, full * 0.5, S_SIZE, S_SIZE,
+                                 PruneBounds(cin_lb=1))
+    sp = transfer_spade_generator_params(v["params"], cfg, res.config)
+    sv = _spade_init(res.config, seed=1)
+    ref_shapes = jax.tree.map(lambda x: x.shape, sv["params"])
+    got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, sp)
+    assert ref_shapes == got_shapes
+    y = SPADEGenerator(res.config).apply(
+        {**sv, "params": sp}, jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
+    )
+    assert y.shape == (1, S_SIZE, S_SIZE, 3)
