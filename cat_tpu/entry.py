@@ -172,6 +172,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             lambda_gan=opt.lambda_gan, lambda_recon=opt.lambda_recon,
             beta1=opt.beta1, init_type=opt.init_type, init_gain=opt.init_gain,
             packed_blocks=_packed(opt, True),
+            remat=bool(getattr(opt, "remat", 0)),
         )
         d_cfg = cli.discriminator_config(opt, opt.input_nc + opt.output_nc)
         task = Pix2PixTask(gen_cfg, d_cfg, hp)
@@ -344,6 +345,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         compute_dtype=opt.compute_dtype,
         packed_blocks=_packed(opt, False),
         init_type=opt.init_type, init_gain=opt.init_gain,
+        remat=bool(getattr(opt, "remat", 0)),
     )
     task = SPADETask(gen_cfg, d_cfg, hp, vgg_variables=cli.make_vgg(opt),
                      input_nc=opt.input_nc)
@@ -358,6 +360,12 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
             stats={k: v for k, v in gv.items() if k != "params"}))
         print(f"restored G from {opt.restore_G_path}")
     state = _maybe_restore_state(opt, state)
+    # GSPMD data(-x-spatial) mesh — the reference GauGAN is its only
+    # default-multi-GPU workload (--gpu_ids 0,1 + sync BN,
+    # models/spade_model.py:96-106); batch-norm statistics become global
+    # automatically under jit over the mesh (see ops/nn.py Norm2d)
+    mesh = _mesh_or_none(opt)
+    state, _, shard = _place(state, None, mesh)
     loader = create_cityscapes_dataloader(
         opt.dataroot, opt.batch_size, phase=opt.phase,
         load_size=opt.load_size, crop_size=opt.crop_size,
@@ -386,7 +394,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=jax.device_put)
+                      save_fn, logger, device_put_fn=shard)
     return trainer, state
 
 
@@ -509,15 +517,35 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         packed_blocks=_packed(opt, False),
         init_type=opt.init_type,
         init_gain=opt.init_gain,
+        remat=bool(getattr(opt, "remat", 0)),
     )
     dist = SPADEDistiller(teacher_cfg, student_cfg, hp=hp,
                           vgg_variables=cli.make_vgg(opt))
     dist.label_nc = opt.input_nc
     dist.contain_dontcare = opt.contain_dontcare_label
+    # magnitude weight transfer from the wide pretrained generator into the
+    # (possibly shrink-pruned) student — the reference gaugan student
+    # recipes pass --restore_pretrained_G_path (train_inception_student_
+    # 5p6B.sh:6, spade_distiller_modules.py:33-46); applied AFTER shrink so
+    # it actually warm-starts the trained student (see compress/transfer.py
+    # for the documented deviations from the reference's no-op branch loops)
+    student_vars = None
+    if getattr(opt, "restore_pretrained_G_path", None):
+        from cat_tpu.compress.transfer import transfer_spade_generator_params
+
+        p_cfg, p_vars = load_spade_checkpoint(opt.restore_pretrained_G_path, opt)
+        student_vars = {
+            "params": transfer_spade_generator_params(
+                p_vars["params"], p_cfg, student_cfg
+            )
+        }
+        logger.print_info("Pretrained weights transferred into the SPADE student.")
     state, teacher_vars = dist.init_state(
         jax.random.PRNGKey(opt.seed),
         int(opt.crop_size / opt.aspect_ratio), opt.crop_size, teacher_vars,
+        student_vars,
     )
+    mesh = _mesh_or_none(opt)
     if opt.restore_D_path:
         # teacher-D warm start, weights+spectral state, fresh optimizer
         # (reference gaugan student recipes pass --restore_D_path)
@@ -531,6 +559,10 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         )
         print(f"restored D from {opt.restore_D_path}")
     state = _maybe_restore_state(opt, state)
+    # reference GauGAN distillation runs 2-GPU by default
+    # (train_inception_student_5p6B.sh --gpu_ids 0,1) — data(-x-spatial)
+    # GSPMD mesh; sync-BN statistics go global under jit automatically
+    state, teacher_vars, shard = _place(state, teacher_vars, mesh)
     with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
         f.write(config_to_json(student_cfg))
     if opt.prune_only:
@@ -565,7 +597,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=jax.device_put)
+                      save_fn, logger, device_put_fn=shard)
     return trainer, state
 
 
@@ -637,6 +669,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         compute_dtype=opt.compute_dtype,
         fused_norms=opt.fused_norms,
         packed_blocks=_packed(opt, True),
+        remat=bool(getattr(opt, "remat", 0)),
     )
     d_in = (teacher_cfg.input_nc + teacher_cfg.output_nc
             if opt.dataset_mode == "aligned" else teacher_cfg.output_nc)

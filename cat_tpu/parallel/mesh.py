@@ -47,6 +47,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS,
             )
         devices = devices[:total]
     if n_spatial > 1:
+        if len(devices) % n_spatial:
+            raise ValueError(
+                f"n_spatial={n_spatial} must divide the device count "
+                f"({len(devices)}); pass --n_devices to use a subset"
+            )
         grid = np.asarray(devices).reshape(len(devices) // n_spatial, n_spatial)
         return Mesh(grid, (axis, SPATIAL_AXIS))
     return Mesh(np.asarray(devices), (axis,))
@@ -66,7 +71,9 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
     batch_nd = NamedSharding(mesh, P(axis))  # for non-spatial entries
 
     def put(x):
-        s = sharding if getattr(x, "ndim", 0) >= 2 else batch_nd
+        # only image-like entries (B, H, ...) of rank >= 3 get the spatial
+        # axis — a (B, C) feature batch must not shard C over 'spatial'
+        s = sharding if getattr(x, "ndim", 0) >= 3 else batch_nd
         return jax.device_put(x, s)
 
     return jax.tree.map(put, batch)

@@ -238,3 +238,63 @@ def test_spade_task_step_bf16(rng):
     state, metrics = task.train_step(state, batch(rng), 2e-4)
     assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.g.params))
+
+
+def test_spade_distiller_step_with_vgg(rng):
+    """λ_vgg > 0 (the GauGAN default) computes a real perceptual gradient:
+    the whole G loss — including the VGG term — must update the student and
+    stay finite.  Uses a tiny random-weights VGG19 in the real layout
+    (tools/make_fixtures.make_fake_vgg19 via convert_torch_vgg19)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import tempfile
+
+    from make_fixtures import make_fake_vgg19
+
+    from cat_tpu.models.vgg import load_vgg19
+
+    with tempfile.TemporaryDirectory() as td:
+        _, vgg_vars = load_vgg19(make_fake_vgg19(td + "/vgg.pth"))
+    hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=10.0,
+                             mapping_layers=("head_0", "up_1"))
+    dist = SPADEDistiller(tiny_cfg(8), tiny_cfg(4), None, hp,
+                          vgg_variables=vgg_vars)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, SIZE, SIZE, NC)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    b = batch(rng)
+    state1, metrics = dist.train_step(state, tv, b, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert float(metrics["G_loss/vgg"]) > 0.0
+
+    # and the term is load-bearing: λ_vgg=0 yields a different G update
+    hp0 = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                              mapping_layers=("head_0", "up_1"))
+    dist0 = SPADEDistiller(tiny_cfg(8), tiny_cfg(4), None, hp0)
+    state0, tv0 = dist0.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    state0b, m0 = dist0.train_step(state0, tv0, b, 2e-4)
+    assert float(m0["G_loss/vgg"]) == 0.0
+    a = jax.tree.leaves(state1.g.params["G"])[0]
+    c = jax.tree.leaves(state0b.g.params["G"])[0]
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_spade_distiller_remat_parity(rng):
+    """--remat must be numerics-preserving for the SPADE distill step."""
+    b = batch(rng)
+    states = []
+    for remat in (False, True):
+        hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                                 mapping_layers=("head_0", "up_1"),
+                                 remat=remat)
+        dist = SPADEDistiller(tiny_cfg(8), tiny_cfg(4), None, hp)
+        tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                    jnp.zeros((1, SIZE, SIZE, NC)))
+        state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+        state, _ = dist.train_step(state, tv, b, 2e-4)
+        states.append(state)
+    for a, c in zip(jax.tree.leaves(states[0].g.params),
+                    jax.tree.leaves(states[1].g.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-5)
