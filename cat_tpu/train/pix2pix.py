@@ -43,6 +43,10 @@ class Pix2PixHParams:
     init_gain: float = 0.02
     # branch-packed inception blocks (identical math/params, wide MXU convs)
     packed_blocks: bool = True
+    # rematerialise the generator forward (jax.checkpoint): ~halves G
+    # activation memory in exchange for one extra forward in the backward
+    # pass — enables reference-resolution crops on memory-tight chips
+    remat: bool = False
 
 
 class Pix2PixTask:
@@ -112,6 +116,8 @@ class Pix2PixTask:
             )
             return fake, new_stats
 
+        if hp.remat:  # store inputs only; recompute the forward in the vjp
+            g_forward = jax.checkpoint(g_forward)
         fake_B, g_vjp, g_stats = jax.vjp(g_forward, state.g.params, has_aux=True)
 
         # --- discriminator update (reference backward_D: 160-175) ---

@@ -112,6 +112,11 @@ class SPADEHParams:
     # weights, norm statistics and losses (same contract as the SPADE
     # distiller's compute_dtype)
     compute_dtype: str = "float32"
+    # rematerialise the generator forward (jax.checkpoint): recompute in the
+    # backward instead of storing activations — the reference GauGAN trains
+    # at 512x256 crops (train_inception_student_5p6B.sh), which needs this
+    # on 16G chips
+    remat: bool = False
 
 
 def feature_matching_loss(pred_fake, pred_real) -> jnp.ndarray:
@@ -236,8 +241,9 @@ class SPADETask:
 
         # --- G update (old D) ---
         def g_loss_fn(g_params):
-            fake, g_stats = self._apply_g(down(g_params), state.g.stats, sem,
-                                          train=True)
+            g_fwd = (jax.checkpoint(self._apply_g, static_argnums=(3,))
+                     if hp.remat else self._apply_g)
+            fake, g_stats = g_fwd(down(g_params), state.g.stats, sem, True)
             fake = up(fake)
             pred_fake, pred_real, _ = self._discriminate(
                 state.d.params, state.d.stats, sem, down(fake), down(real_B),
