@@ -76,6 +76,12 @@ class Trainer:
 
     def _evaluate(self, state, epoch: int, total_iter: int, message: str):
         if self.evaluate_fn is None:
+            # no evaluators configured (e.g. a judge-less zero-egress run):
+            # still checkpoint 'latest' at cadence — the reference saves at
+            # save_latest_freq/save_epoch_freq regardless of metrics
+            # (trainer.py:141-151); skipping it loses work on preemption
+            self.logger.print_info(message)
+            self._save(state, "latest")
             return {}
         start = time.time()
         metrics, flags = self.evaluate_fn(state, total_iter)

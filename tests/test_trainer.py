@@ -114,3 +114,23 @@ def test_cli_defaults_match_reference():
     assert opt.pool_size == 50
     assert opt.ngf == 64 and opt.ndf == 128
     assert opt.lambda_recon == 100.0
+
+
+def test_trainer_saves_latest_without_evaluators(tmp_path):
+    """A judge-less run (no evaluate_fn) must still checkpoint 'latest' at
+    cadence — reference trainer.py:141-151 saves regardless of metrics."""
+    saves = []
+
+    def step_fn(state, batch, lr):
+        return state + 1, {"loss": jnp.asarray(0.0)}
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path), nepochs=1, nepochs_decay=1,
+        print_freq=10, save_latest_freq=2, save_epoch_freq=1, lr=1.0,
+    )
+    trainer = Trainer(step_fn, FakeLoader(3), cfg, evaluate_fn=None,
+                      save_fn=lambda state, tag: saves.append(tag),
+                      logger=Logger(str(tmp_path)))
+    trainer.fit(0)
+    assert "latest" in saves
+    assert "1" in saves and "2" in saves  # per-epoch saves still happen
