@@ -57,11 +57,13 @@ class _ImageCache:
     def open(self, path: str) -> Image.Image:
         if self.store is None:
             return Image.open(path)
-        ent = self.store.get(path)
+        # key namespaced per accessor: open() and open_resized() cache
+        # different payloads for the same path and must never alias
+        ent = self.store.get(("raw", path))
         if ent is None:
             img = Image.open(path)
             img.load()
-            self.store[path] = (img,)
+            self.store[("raw", path)] = (img,)
             return img
         return ent[0]
 
@@ -72,11 +74,11 @@ class _ImageCache:
         if self.store is None:
             img = Image.open(path)
             return resize_image(img, spec), img.size
-        ent = self.store.get(path)
-        if ent is None or len(ent) != 2:
+        ent = self.store.get(("resized", path))
+        if ent is None:
             img = Image.open(path)
             ent = (resize_image(img, spec), img.size)
-            self.store[path] = ent
+            self.store[("resized", path)] = ent
         return ent
 
 
@@ -87,8 +89,8 @@ def _image_size(path: str, cache: "_ImageCache", spec=None):
     if spec is not None and spec.preprocess == "resize_and_crop":
         return (spec.load_size, spec.load_size)  # unused by get_params
     if cache.store is not None:
-        ent = cache.store.get(path)
-        if ent is not None and len(ent) == 2:
+        ent = cache.store.get(("resized", path))
+        if ent is not None:
             return ent[1]
     with Image.open(path) as im:
         return im.size

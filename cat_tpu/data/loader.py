@@ -82,6 +82,16 @@ class DataLoader:
         self.process_shard = process_shard
         self.worker_mode = worker_mode
         self._pool = None
+        if worker_mode == "process" and num_workers > 0 and prefetch > 0:
+            # fork the worker pool EAGERLY, at construction: by first
+            # iteration JAX (and possibly the TPU runtime) has spawned
+            # threads, and fork()ing a multithreaded process is a classic
+            # fork-safety hazard.  Construct loaders before touching
+            # devices.  (Caveat: with load_in_memory each fork()ed child
+            # fills its own decode cache — memory scales with num_workers;
+            # prefer worker_mode='native' or the device bank for cached
+            # small datasets.)
+            self._make_pool()
         if process_shard is not None:
             pid, pcount = process_shard
             if batch_size % pcount:
@@ -192,18 +202,21 @@ class DataLoader:
 
         return gen()
 
+    def _make_pool(self):
+        global _WORKER_DATASET
+        _WORKER_DATASET = self.dataset
+        ctx = multiprocessing.get_context("fork")
+        self._pool = ctx.Pool(self.num_workers)
+
     def _iter_processes(self, batches: List[List[int]]) -> Iterator[Dict[str, Any]]:
         """fork()ed batch workers; ≥``num_workers`` batches stay in flight.
 
-        The pool is created lazily per loader (not per epoch) and the
+        The pool is created at loader CONSTRUCTION (see __init__) and the
         children inherit the dataset by fork — no per-task pickling of
         anything but the index list out and the batch arrays back.
         """
-        global _WORKER_DATASET
         if getattr(self, "_pool", None) is None:
-            _WORKER_DATASET = self.dataset
-            ctx = multiprocessing.get_context("fork")
-            self._pool = ctx.Pool(self.num_workers)
+            self._make_pool()
         pool = self._pool
         prep = getattr(self.dataset, "prepare", None)
 

@@ -185,7 +185,11 @@ class InceptionBlock(nn.Module):
     branch convolutions packed into kernel-size-homogeneous groups (see
     ``_packed_call``): FLOP-exact, fewer and wider convs.  Identical math
     and identical parameter tree — checkpoints and pruning move freely
-    between paths.  This is the "fused multi-branch block" SURVEY §7 calls
+    between paths.  (With ``dropout_rate > 0`` the two paths draw dropout
+    masks in a different RNG order — one mask per concatenated group vs one
+    per branch — so they are distribution-identical but not
+    sample-identical; exact equality holds at the default rate 0, which is
+    what every shipped recipe trains with.)  This is the "fused multi-branch block" SURVEY §7 calls
     for, done with packed XLA convs instead of a kernel.  (A variant that
     zero-pads every kernel to the largest k and runs ONE conv per stage was
     measured 40% slower on-chip: the k-padding inflates block FLOPs ~3.9x,

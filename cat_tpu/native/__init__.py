@@ -15,6 +15,7 @@ import hashlib
 import os
 import subprocess
 import threading
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -43,13 +44,22 @@ def _build() -> str:
     if os.path.exists(so_path):
         return so_path
     # stale builds from older source revisions + orphaned temp objects
-    # from crashed builds
+    # from crashed builds.  Recent .tmp files are another process's
+    # IN-PROGRESS build — deleting them would make its os.replace fail and
+    # silently demote that process to the PIL fallback for its lifetime;
+    # only reap temps older than a build could plausibly run.
+    now = time.time()
     for name in os.listdir(_DIR):
-        if name.startswith("_image_pipe_") and (
-            name.endswith(".so") or name.endswith(".tmp")
-        ):
+        path = os.path.join(_DIR, name)
+        if name.startswith("_image_pipe_") and name.endswith(".so"):
             try:
-                os.unlink(os.path.join(_DIR, name))
+                os.unlink(path)
+            except OSError:
+                pass
+        elif name.startswith("_image_pipe_") and name.endswith(".tmp"):
+            try:
+                if now - os.path.getmtime(path) > 300:
+                    os.unlink(path)
             except OSError:
                 pass
     tmp = f"{so_path}.{os.getpid()}.tmp"  # unique per process: concurrent
@@ -59,7 +69,13 @@ def _build() -> str:
         "-o", tmp, "-ljpeg", "-lpng", "-pthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(tmp, so_path)
+    try:
+        os.replace(tmp, so_path)
+    except OSError:
+        # a racing build published first and cleanup removed our temp;
+        # its .so is byte-equivalent (same source hash) — use it
+        if not os.path.exists(so_path):
+            raise
     return so_path
 
 
