@@ -249,9 +249,13 @@ def make_vgg(opt):
 # Deliberately-accepted-but-inert reference flags (kept so reference
 # recipes run verbatim): --netG/--teacher_netG/--student_netG (only the
 # inception families exist; architecture is recovered from checkpoint
-# config sidecars), --pretrained_netG/--pretrained_ngf (sidecars again),
-# --moving_average_decay (reference default 0.0; EMA path vestigial),
-# --prune_continue/--prune_logging_verbose (reference debug extras).
+# config sidecars), --pretrained_netG/--pretrained_ngf/--teacher_ngf
+# (sidecars again — the teacher net is rebuilt from its checkpoint's
+# config, not from a width flag), --moving_average_decay (reference
+# default 0.0; EMA path vestigial), --prune_continue (subsumed by
+# --restore_student_G_path) / --prune_logging_verbose (reference debug
+# extras).  tests/test_flags_audit.py enforces that any OTHER accepted
+# flag is consumed somewhere.
 
 
 def distill_arguments(parser: argparse.ArgumentParser):

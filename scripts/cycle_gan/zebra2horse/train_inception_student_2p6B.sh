@@ -9,6 +9,7 @@ python distill.py --dataroot database/horse2zebra \
   --log_dir logs/cycle_gan/zebra2horse/inception/student/2p6B \
   --restore_teacher_G_path logs/cycle_gan/horse2zebra/inception/teacher/checkpoints/best_B_net_G_B.msgpack \
   --restore_pretrained_G_path logs/cycle_gan/horse2zebra/inception/teacher/checkpoints/best_B_net_G_B.msgpack \
+  --restore_D_path logs/cycle_gan/horse2zebra/inception/teacher/checkpoints/best_B_net_D_B.msgpack \
   --real_stat_path real_stat/horse2zebra_A.npz \
   --nepochs 500 --nepochs_decay 500 \
   --teacher_ngf 64 --student_ngf 20 --ndf 64 \

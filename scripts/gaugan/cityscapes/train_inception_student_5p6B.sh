@@ -4,6 +4,8 @@ python distill.py --dataroot database/cityscapes-origin \
   --distiller spade --dataset_mode cityscapes \
   --log_dir logs/gaugan/cityscapes/inception/student/5p6B \
   --restore_teacher_G_path logs/gaugan/cityscapes/inception/teacher/checkpoints/best_net_G.msgpack \
+  --restore_pretrained_G_path logs/gaugan/cityscapes/inception/teacher/checkpoints/best_net_G.msgpack \
+  --restore_D_path logs/gaugan/cityscapes/inception/teacher/checkpoints/best_net_D.msgpack \
   --input_nc 35 --contain_dontcare_label \
   --preprocess scale_width --load_size 512 --crop_size 512 --aspect_ratio 2 \
   --teacher_ngf 64 --student_ngf 48 \

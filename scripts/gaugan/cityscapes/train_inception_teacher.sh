@@ -3,6 +3,10 @@
 python train.py --dataroot database/cityscapes-origin \
   --model spade --dataset_mode cityscapes \
   --log_dir logs/gaugan/cityscapes/inception/teacher \
+  --real_stat_path real_stat/cityscapes_A.npz \
+  --drn_path drn-d-105_ms_cityscapes.pth \
+  --cityscapes_path database/cityscapes-origin \
+  --table_path datasets/table.txt \
   --input_nc 35 --contain_dontcare_label \
   --preprocess scale_width --load_size 512 --crop_size 512 --aspect_ratio 2 \
   --ngf 64 --batch_size 16 \

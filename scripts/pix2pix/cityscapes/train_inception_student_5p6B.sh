@@ -5,6 +5,7 @@ python distill.py --dataroot database/cityscapes \
   --log_dir logs/pix2pix/cityscapes/inception/student/5p6B \
   --restore_teacher_G_path logs/pix2pix/cityscapes/inception/teacher/checkpoints/best_net_G.msgpack \
   --restore_pretrained_G_path logs/pix2pix/cityscapes/inception/teacher/checkpoints/best_net_G.msgpack \
+  --restore_D_path logs/pix2pix/cityscapes/inception/teacher/checkpoints/best_net_D.msgpack \
   --real_stat_path real_stat/cityscapes_A.npz \
   --nepochs 500 --nepochs_decay 750 \
   --save_latest_freq 25000 --save_epoch_freq 25 \

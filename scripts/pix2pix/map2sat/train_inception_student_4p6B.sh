@@ -5,6 +5,7 @@ python distill.py --dataroot database/maps \
   --log_dir logs/pix2pix/map2sat/inception/student/4p6B \
   --restore_teacher_G_path logs/pix2pix/map2sat/inception/teacher/checkpoints/best_net_G.msgpack \
   --restore_pretrained_G_path logs/pix2pix/map2sat/inception/teacher/checkpoints/best_net_G.msgpack \
+  --restore_D_path logs/pix2pix/map2sat/inception/teacher/checkpoints/best_net_D.msgpack \
   --real_stat_path real_stat/maps_A.npz \
   --nepochs 500 --nepochs_decay 1000 \
   --teacher_ngf 64 --student_ngf 32 \
