@@ -73,6 +73,55 @@ def _load_events(trace_dir: str):
     return path, data.get("traceEvents", data)
 
 
+def parse_categories(trace_dir: str, top: int = 12) -> None:
+    """Aggregate the XLA-op lane by hlo_category with achieved FLOP/s and
+    HBM bytes — the roofline view (args carried per op by the TPU trace:
+    hlo_category / model_flops / bytes_accessed / source)."""
+    path, events = _load_events(trace_dir)
+    track_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") in ("process_name", "thread_name"):
+            key = (e.get("pid"), e.get("tid")) if e["name"] == "thread_name" else (e.get("pid"), None)
+            track_names[key] = e.get("args", {}).get("name", "")
+    cat = defaultdict(lambda: [0.0, 0.0, 0.0, 0])  # dur_us, flops, bytes, n
+    src = defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        label = (track_names.get((e.get("pid"), e.get("tid")), "") or "")
+        if "XLA Ops" not in (track_names.get((e.get("pid"), None), "") + label):
+            continue
+        a = e.get("args", {})
+        dur = float(e.get("dur", 0.0))
+        c = cat[a.get("hlo_category", "?")]
+        c[0] += dur
+        c[1] += float(a.get("model_flops", 0) or 0)
+        c[2] += float(a.get("bytes_accessed", 0) or 0)
+        c[3] += 1
+        s = a.get("source", "")
+        if s:
+            src[s][0] += dur
+            src[s][1] += 1
+        total += dur
+    print(f"trace file: {os.path.relpath(path, trace_dir)}")
+    print(f"total device-op time {total/1e3:.1f} ms\n")
+    print("| hlo_category | ms | share | TFLOP/s | GB/s | ops |")
+    print("|---|---|---|---|---|---|")
+    for name, (dur, fl, by, n) in sorted(cat.items(), key=lambda kv: -kv[1][0])[:top]:
+        tfs = fl / (dur * 1e-6) / 1e12 if dur else 0.0
+        gbs = by / (dur * 1e-6) / 1e9 if dur else 0.0
+        print(f"| {name} | {dur/1e3:.1f} | {100*dur/total:.1f}% | "
+              f"{tfs:.1f} | {gbs:.0f} | {n} |")
+    tf_all = sum(v[1] for v in cat.values())
+    by_all = sum(v[2] for v in cat.values())
+    print(f"\nwhole-step achieved: {tf_all/(total*1e-6)/1e12:.1f} TFLOP/s, "
+          f"{by_all/(total*1e-6)/1e9:.0f} GB/s of HBM traffic")
+    print("\ntop source lines by device time:")
+    for s, (dur, n) in sorted(src.items(), key=lambda kv: -kv[1][0])[:10]:
+        print(f"  {dur/1e3:8.1f} ms  {n:5d} ops  {s}")
+
+
 def parse(trace_dir: str, top: int = 12) -> None:
     path, events = _load_events(trace_dir)
     # device tracks: pid/tid metadata names containing "TPU"/"XLA Ops"-style
@@ -95,12 +144,15 @@ def parse(trace_dir: str, top: int = 12) -> None:
         dur = float(e.get("dur", 0.0))
         per_track[label][e.get("name", "?")] += dur
         track_total[label] += dur
-    # choose the busiest device-looking track (XLA op lanes)
+    # choose the per-op device lane: "XLA Ops" on TPU (the "Steps" / "XLA
+    # Modules" lanes aggregate whole steps and carry no op names)
     def is_device(label: str) -> bool:
         l = label.lower()
         return ("tpu" in l or "xla" in l or "device" in l) and "host" not in l
 
-    candidates = [t for t in track_total if is_device(t)] or list(track_total)
+    op_lanes = [t for t in track_total if "xla ops" in t.lower()]
+    candidates = (op_lanes or [t for t in track_total if is_device(t)]
+                  or list(track_total))
     busiest = max(candidates, key=lambda t: track_total[t])
     ops = per_track[busiest]
     total = sum(ops.values())
@@ -126,9 +178,11 @@ def main():
     args = ap.parse_args()
     if args.parse:
         parse(args.parse, args.top)
+        parse_categories(args.parse, args.top)
         return
     capture(args.out, args.steps)
     parse(args.out, args.top)
+    parse_categories(args.out, args.top)
 
 
 if __name__ == "__main__":
