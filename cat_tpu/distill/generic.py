@@ -42,6 +42,10 @@ class GenericDistillHParams:
     beta1: float = 0.9
     beta2: float = 0.999
     mapping_layers: Tuple[str, ...] = ()
+    # 'float32' | 'bfloat16' — bf16 casts params/inputs for the forwards
+    # (single-pass MXU convs, f32 master weights), losses reduced in f32;
+    # KA streams activations in the compute dtype (bf16xbf16->f32 products)
+    compute_dtype: str = "float32"
 
 
 class _Adaptor(nn.Module):
@@ -115,16 +119,29 @@ class GenericDistiller:
 
     def _step(self, state: DistillState, teacher_variables: Dict,
               inputs: Tuple, lr: jnp.ndarray):
+        from cat_tpu.train.common import cast_floats
+
         hp = self.hp
         taps = hp.mapping_layers
-        t_out, t_acts = self.teacher.apply(teacher_variables, *inputs, taps=taps)
-        t_out = jax.lax.stop_gradient(t_out)
-        t_acts = jax.lax.stop_gradient(t_acts)
+        cdt = jnp.dtype(hp.compute_dtype)
+        mixed = cdt != jnp.float32
+        down = (lambda t: cast_floats(t, cdt)) if mixed else (lambda t: t)
+        up = (lambda t: cast_floats(t, jnp.float32)) if mixed else (lambda t: t)
+        inputs = down(inputs)
+
+        t_out, t_acts = self.teacher.apply(down(teacher_variables), *inputs,
+                                           taps=taps)
+        t_out = jax.lax.stop_gradient(up(t_out))
+        # ka consumes activations in the compute dtype; mse upcasts for the
+        # adaptor convs + squared error (as in the inception distiller)
+        up_acts = (lambda t: t) if hp.distill_loss_type == "ka" else up
+        t_acts = jax.lax.stop_gradient(up_acts(t_acts))
 
         def loss_fn(group):
             s_out, s_acts = self.student.apply(
-                {"params": group["G"]}, *inputs, taps=taps
+                {"params": down(group["G"])}, *inputs, taps=taps
             )
+            s_out, s_acts = up(s_out), up_acts(s_acts)
             l_rec = recon_loss(s_out, t_out, hp.recon_loss_type) * hp.lambda_recon
             l_dis, parts = self._distill_loss(group["A"], s_acts, t_acts)
             l_dis = l_dis * hp.lambda_distill

@@ -473,6 +473,7 @@ def load_spade_checkpoint(path: str, opt=None):
 def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     """GauGAN distillation (reference distillers/spade_distiller.py)."""
     from cat_tpu.compress.spade import profile_spade_generator, shrink_spade_generator
+    from cat_tpu.core.spade_config import MultiscaleDiscriminatorConfig
     from cat_tpu.data.cityscapes import create_cityscapes_dataloader
     from cat_tpu.distill.spade_distiller import SPADEDistillHParams, SPADEDistiller
 
@@ -519,7 +520,14 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),
     )
-    dist = SPADEDistiller(teacher_cfg, student_cfg, hp=hp,
+    # D follows the CLI flags exactly as on the teacher-training path —
+    # otherwise --restore_D_path (teacher's D) can't load into the distiller
+    # (reference builds D from the same opt, distillers/spade_distiller.py:72)
+    d_cfg = MultiscaleDiscriminatorConfig(
+        input_nc=teacher_cfg.semantic_nc + teacher_cfg.output_nc,
+        ndf=opt.ndf, n_layers=opt.n_layers_D, num_D=opt.num_D, norm_D=opt.norm_D,
+    )
+    dist = SPADEDistiller(teacher_cfg, student_cfg, disc_cfg=d_cfg, hp=hp,
                           vgg_variables=cli.make_vgg(opt))
     dist.label_nc = opt.input_nc
     dist.contain_dontcare = opt.contain_dontcare_label
@@ -1163,6 +1171,16 @@ def train_main(argv=None):
                          gan_mode="lsgan", ndf=64).items():
             if getattr(opt, k) == parser.get_default(k):
                 setattr(opt, k, v)
+    elif opt.model == "spade":
+        # reference spade_model.py:82-92 set_defaults + the multiscale D's
+        # modify_commandline_options (discriminators.py:200 → n_layers_D=4)
+        for k, v in dict(netD="multi_scale", ndf=64, n_layers_D=4,
+                         dataset_mode="cityscapes", batch_size=16,
+                         print_freq=50, save_epoch_freq=10,
+                         nepochs=100, nepochs_decay=100,
+                         init_type="xavier", active_fn="nn.LeakyReLU").items():
+            if getattr(opt, k) == parser.get_default(k):
+                setattr(opt, k, v)
     cli.print_options(opt, parser)
     trainer, state = setup_train(opt)
     trainer.fit(state)
@@ -1175,6 +1193,19 @@ def distill_main(argv=None):
     cli.base_arguments(parser)
     cli.distill_arguments(parser)
     opt = parser.parse_args(argv)
+    if opt.distiller == "spade":
+        # reference spade_distiller.py:72-82 set_defaults + multiscale D's
+        # n_layers_D=4 (discriminators.py:200).  ndf=64 is not in the
+        # reference's distill set_defaults, but its shipped gaugan recipes
+        # restore the teacher's D (trained at the spade-train default
+        # ndf=64, spade_model.py:83) — the recipe is only loadable at 64.
+        for k, v in dict(netD="multi_scale", ndf=64, n_layers_D=4,
+                         dataset_mode="cityscapes", batch_size=16,
+                         print_freq=50, save_epoch_freq=10,
+                         nepochs=100, nepochs_decay=100,
+                         init_type="xavier").items():
+            if getattr(opt, k) == parser.get_default(k):
+                setattr(opt, k, v)
     cli.print_options(opt, parser)
     trainer, state = setup_distill(opt)
     if trainer is not None:

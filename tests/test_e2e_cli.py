@@ -235,14 +235,7 @@ def test_distill_cli_on_device_data(unaligned_root, tmp_path):
     assert "Pretrained weights transferred" in log
 
 
-def test_train_cli_spade(tmp_path):
-    """train --model spade end to end (regression: compute_dtype was only
-    defined on the distill parser and setup_train_spade crashed)."""
-    import numpy as np
-    from PIL import Image
-
-    from cat_tpu.entry import train_main
-
+def make_cityscapes_root(tmp_path):
     rng = np.random.RandomState(0)
     city = tmp_path / "gtFine" / "train" / "cityA"
     photos = tmp_path / "leftImg8bit" / "train" / "cityA"
@@ -256,6 +249,13 @@ def test_train_cli_spade(tmp_path):
         img = rng.randint(0, 255, size=(64, 64, 3), dtype=np.uint8)
         Image.fromarray(img).save(photos / f"{base}_leftImg8bit.png")
 
+
+def test_train_cli_spade(tmp_path):
+    """train --model spade end to end (regression: compute_dtype was only
+    defined on the distill parser and setup_train_spade crashed)."""
+    from cat_tpu.entry import train_main
+
+    make_cityscapes_root(tmp_path)
     log_dir = str(tmp_path / "logs")
     train_main([
         "--dataroot", str(tmp_path),
@@ -277,6 +277,59 @@ def test_train_cli_spade(tmp_path):
         "--inception_path", "/nonexistent.pth",
     ])
     assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+
+
+def test_distill_cli_spade_teacher_D_restore(tmp_path):
+    """GauGAN recipe chain: teacher train, then distill restoring the
+    teacher's D (--restore_D_path) and transferring the pretrained G
+    (--restore_pretrained_G_path) — both stages at the per-model default
+    n_layers_D.  Regression: setup_distill_spade built its D from the
+    config defaults instead of the CLI flags, so the teacher's D tree
+    never matched the distiller's (reference builds both from the same
+    opt, distillers/spade_distiller.py:72, models/spade_model.py:82)."""
+    from cat_tpu.entry import distill_main, train_main
+
+    make_cityscapes_root(tmp_path)
+    tdir = str(tmp_path / "teacher")
+    common = [
+        "--dataroot", str(tmp_path),
+        "--dataset_mode", "cityscapes",
+        "--input_nc", "4",
+        "--num_upsampling_layers", "normal",
+        "--crop_size", "64", "--load_size", "64",
+        "--aspect_ratio", "1.0",
+        "--ndf", "4", "--num_D", "2",
+        "--batch_size", "2",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--lambda_vgg", "0",
+        "--inception_path", "/nonexistent.pth",
+    ]
+    train_main(common + [
+        "--model", "spade",
+        "--netG", "inception_spade",
+        "--ngf", "4",
+        "--log_dir", tdir,
+    ])
+    tg = os.path.join(tdir, "checkpoints", "latest_net_G.msgpack")
+    td = os.path.join(tdir, "checkpoints", "latest_net_D.msgpack")
+    assert os.path.exists(tg) and os.path.exists(td)
+
+    log_dir = str(tmp_path / "student")
+    distill_main(common + [
+        "--distiller", "spade",
+        "--teacher_netG", "inception_spade",
+        "--student_netG", "inception_spade",
+        "--teacher_ngf", "4", "--student_ngf", "4",
+        "--restore_teacher_G_path", tg,
+        "--restore_pretrained_G_path", tg,
+        "--restore_D_path", td,
+        "--log_dir", log_dir,
+    ])
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+    log = open(os.path.join(log_dir, "log.txt")).read()
+    assert "Pretrained weights transferred" in log
 
 
 def test_train_cli_resume_from_state(unaligned_root, tmp_path):

@@ -54,3 +54,28 @@ def test_unet_distillation_step(rng, loss_type):
     assert float(metrics["G_loss/recon"]) < first
     out = dist.generate(state, x, t)
     assert out.shape == x.shape
+
+
+def test_unet_distillation_step_bf16(rng):
+    """bf16 compute path: params stay f32 masters, losses finite, step
+    trains (tools/bench_unet_distill.py runs this config on-chip)."""
+    t_cfg, s_cfg = make(8), make(4)
+    teacher, student = UNet(t_cfg), UNet(s_cfg)
+    hp = GenericDistillHParams(
+        distill_loss_type="ka", mapping_layers=("mid", "up0"),
+        lambda_recon=1.0, lambda_distill=1.0, compute_dtype="bfloat16",
+    )
+    dist = GenericDistiller(teacher, student, t_cfg.tap_widths,
+                            s_cfg.tap_widths, hp)
+    x = jnp.asarray(rng.randn(2, SIZE, SIZE, 3), jnp.float32)
+    t = jnp.asarray([3.0, 7.0])
+    tv = teacher.init(jax.random.PRNGKey(7), x, t)
+    state, tv = dist.init_state(jax.random.PRNGKey(0), (x, t), tv)
+    state, metrics = dist.train_step(state, tv, (x, t), 1e-3)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.g.params))
+    first = float(metrics["G_loss/recon"])
+    for _ in range(10):
+        state, metrics = dist.train_step(state, tv, (x, t), 1e-3)
+    assert float(metrics["G_loss/recon"]) < first

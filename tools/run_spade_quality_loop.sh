@@ -62,6 +62,9 @@ mkdir -p "$WORK"
   --crop_size "$WIDTH" --load_size "$WIDTH" --aspect_ratio 2.0 \
   --preprocess none
 
+# stages are resumable: each is skipped when its output checkpoint already
+# exists (long on-chip runs can die mid-loop; rerun the script to continue)
+[ -f "$WORK/teacher/checkpoints/latest_net_G.msgpack" ] || \
 $PY train.py --dataroot "$DATA" \
   --model spade $COMMON \
   --log_dir "$WORK/teacher" \
@@ -96,6 +99,7 @@ PYEOF
 )
 echo "teacher budget fraction $TFRAC -> target_flops=$TFLOPS"
 
+[ -f "$WORK/student/checkpoints/latest_net_G.msgpack" ] || \
 $PY distill.py --dataroot "$DATA" \
   --distiller spade $COMMON \
   --log_dir "$WORK/student" \
