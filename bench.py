@@ -239,20 +239,65 @@ def main():
     jax.block_until_ready(batch)
     log(f"synthetic batch resident on device ({time.perf_counter() - t:.1f}s "
         "compile+gen)")
+    # Two-phase compile so a COLD persistent cache still yields a number well
+    # inside the driver's ~10-min gate (VERDICT r2 missing #1; the r3 retest
+    # showed the default-effort XLA:TPU compile alone takes 350-480s on this
+    # single-core host — pass/fail was load-dependent):
+    #   phase 1: exec_time_optimization_effort=-1.0 executable (~37s cold
+    #            compile, runs at ~51% of tuned speed) -> emit a measured
+    #            provisional line at ~2 min;
+    #   phase 2: default-effort executable (same traced HLO, persistent-cache
+    #            key shared with any jit of the step) -> re-measure and emit
+    #            the real number.  The driver reads the LAST line, so a
+    #            timeout mid-phase-2 still records phase 1's measurement.
+    lr = jnp.asarray(2e-4, jnp.float32)
+    step = dist.train_step
     t_compile = time.perf_counter()
-    state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    try:
+        lowered = jax.jit(dist._step, donate_argnums=(0,)).lower(
+            state, teacher_vars, batch, lr
+        )
+        log(f"step lowered ({time.perf_counter() - t_compile:.1f}s); "
+            "phase-1 low-effort compile")
+        t = time.perf_counter()
+        fast = lowered.compile(
+            compiler_options={"exec_time_optimization_effort": -1.0}
+        )
+        log(f"low-effort executable in {time.perf_counter() - t:.1f}s")
+        state, metrics = fast(state, teacher_vars, batch, lr)
+        float(metrics["G_loss/recon"])  # full device sync (block_until_ready
+        # is unreliable over the axon tunnel for non-scalar futures)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, metrics = fast(state, teacher_vars, batch, lr)
+        float(metrics["G_loss/recon"])
+        vsb = _emit(BATCH * 3 / (time.perf_counter() - t0), res,
+                    ", provisional: low-effort compile")
+        log(f"phase-1 line emitted (vs_baseline {vsb:.3f}); phase-2 "
+            "default-effort compile")
+        t = time.perf_counter()
+        tuned = lowered.compile()
+        log(f"default-effort executable in {time.perf_counter() - t:.1f}s")
+
+        def step(state, tv, b, lr_f):  # shadows the jit wrapper on purpose
+            return tuned(state, tv, b, jnp.asarray(lr_f, jnp.float32))
+
+    except Exception as e:  # pragma: no cover - backend without effort knob
+        log(f"two-phase compile unavailable ({e!r}); monolithic compile")
+
+    state, metrics = step(state, teacher_vars, batch, 2e-4)
     jax.block_until_ready(metrics)
-    log(f"first step done (compile+run {time.perf_counter() - t_compile:.1f}s)")
+    log(f"first tuned step done (+{time.perf_counter() - t_compile:.1f}s "
+        "since lowering started)")
     for _ in range(WARMUP - 1):
-        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
-    float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
-    # unreliable over the axon tunnel for non-scalar futures)
+        state, metrics = step(state, teacher_vars, batch, 2e-4)
+    float(metrics["G_loss/recon"])
 
     # provisional number from a short synthetic-fed measurement, printed
     # IMMEDIATELY — everything after this only refines it
     t0 = time.perf_counter()
     for _ in range(3):
-        state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+        state, metrics = step(state, teacher_vars, batch, 2e-4)
     float(metrics["G_loss/recon"])
     vsb = _emit(BATCH * 3 / (time.perf_counter() - t0), res)
     log(f"provisional line emitted (vs_baseline {vsb:.3f}); refining with "
@@ -263,16 +308,16 @@ def main():
         stream = (_device_batches(devdata, WARMUP + ITERS) if devdata
                   else _real_batches(dataroot, WARMUP + ITERS))
         for _ in range(WARMUP):
-            state, metrics = dist.train_step(state, teacher_vars, next(stream), 2e-4)
+            state, metrics = step(state, teacher_vars, next(stream), 2e-4)
         float(metrics["G_loss/recon"])
         t0 = time.perf_counter()
         for b in stream:
-            state, metrics = dist.train_step(state, teacher_vars, b, 2e-4)
+            state, metrics = step(state, teacher_vars, b, 2e-4)
         float(metrics["G_loss/recon"])
     else:
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+            state, metrics = step(state, teacher_vars, batch, 2e-4)
         float(metrics["G_loss/recon"])
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
