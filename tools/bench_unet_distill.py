@@ -68,16 +68,17 @@ def main():
 
     t0 = time.perf_counter()
     state, metrics = dist.train_step(state, teacher_vars, (x,), 1e-4)
-    jax.block_until_ready(metrics)
+    float(metrics["G_loss/recon"])  # full device sync (block_until_ready is
+    # unreliable over the axon tunnel for non-scalar futures)
     log(f"first step done (compile+run {time.perf_counter() - t0:.1f}s)")
     for _ in range(WARMUP - 1):
         state, metrics = dist.train_step(state, teacher_vars, (x,), 1e-4)
-    jax.block_until_ready(metrics)
+    float(metrics["G_loss/recon"])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = dist.train_step(state, teacher_vars, (x,), 1e-4)
-    jax.block_until_ready(metrics)
+    float(metrics["G_loss/recon"])
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
     print(json.dumps({
