@@ -206,6 +206,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             evaluate_fn = combine_evaluators(**{"": evs})
 
         def save_fn(state, tag):
+            state = jax.device_get(state)  # one batched fetch for all files
             ckpt.save_net(save_dir, tag, "G", {"params": state.g.params,
                                                "batch_stats": state.g.stats}, gen_cfg)
             # per-net D checkpoint: the reference's student recipes restore
@@ -222,7 +223,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger, device_put_fn=shard)
+                          evaluate_fn, save_fn, logger, device_put_fn=shard,
+                          copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
         return trainer, state
 
     if opt.model == "cycle_gan":
@@ -264,6 +266,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         evaluate_fn = combine_evaluators(**evaluators) if evaluators else None
 
         def save_fn(state, tag):
+            state = jax.device_get(state)  # one batched fetch for all files
             for name in ("A", "B"):
                 ckpt.save_net(save_dir, tag, f"G_{name}",
                               {"params": state.g.params[name]}, gen_cfg)
@@ -277,7 +280,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger, device_put_fn=shard)
+                          evaluate_fn, save_fn, logger, device_put_fn=shard,
+                          copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
         return trainer, state
 
     raise NotImplementedError(f"model [{opt.model}]")
@@ -382,6 +386,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     )
 
     def save_fn(state, tag):
+        state = jax.device_get(state)  # one batched fetch for all files
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params, **state.g.stats}, gen_cfg)
         ckpt.save_net(save_dir, tag, "D",
@@ -394,7 +399,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=shard)
+                      save_fn, logger, device_put_fn=shard,
+                      copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
 
@@ -595,6 +601,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     )
 
     def save_fn(state, tag):
+        state = jax.device_get(state)  # one batched fetch for all files
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params["G"], **state.g.stats}, student_cfg)
         ckpt.save_train_state(save_dir, tag, state)
@@ -605,7 +612,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=shard)
+                      save_fn, logger, device_put_fn=shard,
+                      copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
 
@@ -740,6 +748,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         evaluate_fn = combine_evaluators(**{"": evs})
 
     def save_fn(state, tag):
+        state = jax.device_get(state)  # one batched fetch for all files
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params["G"], "batch_stats": state.g.stats},
                       student_cfg)
@@ -751,7 +760,8 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                      evaluate_fn, save_fn, logger, device_put_fn=shard)
+                      evaluate_fn, save_fn, logger, device_put_fn=shard,
+                      copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
 

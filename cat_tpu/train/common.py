@@ -109,9 +109,11 @@ def init_on_cpu(fn, *args, **kwargs):
 
 def to_device(tree: Any, device=None) -> Any:
     # local_devices: under multi-host, jax.devices()[0] may belong to
-    # another process and is not addressable from here
+    # another process and is not addressable from here.  One device_put on
+    # the whole tree batches the host->device copies; a per-leaf map would
+    # issue thousands of serial transfers (minutes over a tunnelled device).
     device = device or jax.local_devices()[0]
-    return jax.tree.map(lambda x: jax.device_put(x, device), tree)
+    return jax.device_put(tree, device)
 
 
 def cast_floats(tree: Any, dtype) -> Any:

@@ -58,10 +58,13 @@ class Trainer:
         save_fn: Optional[Callable] = None,
         logger: Optional[Logger] = None,
         device_put_fn: Optional[Callable] = None,
+        copy_tag_fn: Optional[Callable] = None,
     ):
         """``device_put_fn`` (jax.device_put or a mesh shard fn) enables
         host->device double buffering: the next batch's transfer overlaps
-        the running step (data/loader.device_prefetch)."""
+        the running step (data/loader.device_prefetch).  ``copy_tag_fn(src,
+        dst)`` duplicates an already-written checkpoint tag host-side so
+        multi-tag saves (latest/iterN/best) serialise the state only once."""
         self.step_fn = step_fn
         self.dataloader = dataloader
         self.cfg = cfg
@@ -69,35 +72,53 @@ class Trainer:
         self.save_fn = save_fn
         self.logger = logger or Logger(cfg.log_dir)
         self.device_put_fn = device_put_fn
+        self.copy_tag_fn = copy_tag_fn
 
     def _save(self, state, tag: str):
         if self.save_fn is not None:
             self.save_fn(state, tag)
 
-    def _evaluate(self, state, epoch: int, total_iter: int, message: str):
+    def _save_tags(self, state, tags):
+        """Save ``state`` under several tags with ONE serialisation.
+
+        The reference re-saves per tag (trainer.py:141-155); with multi-GB
+        train states behind a slow device link, the device->host fetch must
+        happen once — the first tag is written by ``save_fn`` and the rest
+        are host-side file copies via ``copy_tag_fn`` when available.
+        """
+        if self.save_fn is None:
+            return
+        ordered = list(dict.fromkeys(tags))
+        self.save_fn(state, ordered[0])
+        for tag in ordered[1:]:
+            if self.copy_tag_fn is not None:
+                self.copy_tag_fn(ordered[0], tag)
+            else:
+                self.save_fn(state, tag)
+
+    def _evaluate(self, state, epoch: int, total_iter: int, message: str,
+                  extra_tags=()):
         if self.evaluate_fn is None:
             # no evaluators configured (e.g. a judge-less zero-egress run):
             # still checkpoint 'latest' at cadence — the reference saves at
             # save_latest_freq/save_epoch_freq regardless of metrics
             # (trainer.py:141-151); skipping it loses work on preemption
             self.logger.print_info(message)
-            self._save(state, "latest")
+            self._save_tags(state, ["latest", *extra_tags])
             return {}
         start = time.time()
         metrics, flags = self.evaluate_fn(state, total_iter)
         self.logger.print_current_metrics(epoch, total_iter, metrics, time.time() - start)
         self.logger.plot(metrics, total_iter)
         self.logger.print_info(message)
-        self._save(state, "latest")
+        tags = ["latest"]
         if flags.get("is_best"):
-            self._save(state, f"iter{total_iter}")
-            self._save(state, "best")
+            tags += [f"iter{total_iter}", "best"]
         if flags.get("is_best_A"):
-            self._save(state, f"iter{total_iter}")
-            self._save(state, "best_A")
+            tags += [f"iter{total_iter}", "best_A"]
         if flags.get("is_best_B"):
-            self._save(state, f"iter{total_iter}")
-            self._save(state, "best_B")
+            tags += [f"iter{total_iter}", "best_B"]
+        self._save_tags(state, tags + list(extra_tags))
         return metrics
 
     def fit(self, state) -> Any:
@@ -140,8 +161,8 @@ class Trainer:
                 self._evaluate(
                     state, epoch, total_iter,
                     f"Saving the model at the end of epoch {epoch}, iters {total_iter}",
+                    extra_tags=(str(epoch),),
                 )
-                self._save(state, str(epoch))
         return state
 
     def _eval_and_continue(self, state, epoch, total_iter):

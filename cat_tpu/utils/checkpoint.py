@@ -23,7 +23,12 @@ from cat_tpu.core.config import config_from_json, config_to_json
 
 def save_pytree(path: str, tree: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host_tree = jax.tree.map(np.asarray, tree)
+    # jax.device_get starts every leaf's device->host copy asynchronously
+    # before blocking; a per-leaf np.asarray would instead issue thousands
+    # of SERIAL round trips, which over a tunnelled device turned one SPADE
+    # train-state save into ~20 minutes.
+    host_tree = jax.device_get(tree)
+    host_tree = jax.tree.map(np.asarray, host_tree)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
 
@@ -69,6 +74,26 @@ def save_train_state(save_dir: str, tag: str, state: Any) -> str:
 
 def load_train_state(save_dir: str, tag: str, like: Any) -> Any:
     return load_pytree(os.path.join(save_dir, f"{tag}_state.msgpack"), like)
+
+
+def copy_tag(save_dir: str, src_tag: str, dst_tag: str) -> int:
+    """Duplicate every ``<src_tag>_*`` checkpoint file as ``<dst_tag>_*``.
+
+    The trainer saves the same state under several tags per eval (latest,
+    iterN, best — reference trainer.py:141-155); serialising the pytree once
+    and copying files host-side avoids repeated device->host fetches of
+    multi-GB states.  Returns the number of files copied.
+    """
+    import glob as _glob
+    import shutil
+
+    n = 0
+    for src in _glob.glob(os.path.join(save_dir, f"{src_tag}_*")):
+        base = os.path.basename(src)
+        dst = os.path.join(save_dir, f"{dst_tag}_{base[len(src_tag) + 1:]}")
+        shutil.copyfile(src, dst)
+        n += 1
+    return n
 
 
 def save_meta(save_dir: str, tag: str, meta: Dict) -> None:

@@ -134,3 +134,47 @@ def test_trainer_saves_latest_without_evaluators(tmp_path):
     trainer.fit(0)
     assert "latest" in saves
     assert "1" in saves and "2" in saves  # per-epoch saves still happen
+
+
+def test_trainer_single_serialisation_with_copy_tag(tmp_path):
+    """With copy_tag_fn, a multi-tag eval (latest + iterN + best [+ epoch])
+    serialises via save_fn ONCE and duplicates the rest host-side — a
+    multi-GB state behind a slow device link must be fetched once, not per
+    tag (reference re-saves per tag, trainer.py:141-155)."""
+    saves, copies = [], []
+
+    def step_fn(state, batch, lr):
+        return state + 1, {"loss": jnp.asarray(0.0)}
+
+    def evaluate_fn(state, step):
+        return {"metric/fid": 1.0}, {"is_best": True}
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path), nepochs=1, nepochs_decay=0,
+        print_freq=10, save_latest_freq=100, save_epoch_freq=1, lr=1.0,
+    )
+    trainer = Trainer(step_fn, FakeLoader(3), cfg, evaluate_fn,
+                      save_fn=lambda state, tag: saves.append(tag),
+                      logger=Logger(str(tmp_path)),
+                      copy_tag_fn=lambda s, d: copies.append((s, d)))
+    trainer.fit(0)
+    # initial eval (iter_base) + epoch-end eval: one serialisation each
+    assert saves == ["latest", "latest"]
+    # everything else arrived as host-side copies of 'latest'
+    assert ("latest", "best") in copies
+    assert ("latest", "1") in copies
+    assert all(src == "latest" for src, _ in copies)
+
+
+def test_copy_tag_duplicates_checkpoint_files(tmp_path):
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    ckpt.save_net(str(tmp_path), "latest", "G", tree)
+    ckpt.save_train_state(str(tmp_path), "latest", tree)
+    n = ckpt.copy_tag(str(tmp_path), "latest", "best")
+    assert n == 2
+    loaded = ckpt.load_net(str(tmp_path), "best", "G", like=tree)[0]
+    np.testing.assert_array_equal(loaded["w"], tree["w"])
+    # prefix safety: '1' must not match '10_*'
+    ckpt.save_train_state(str(tmp_path), "1", tree)
+    ckpt.save_train_state(str(tmp_path), "10", tree)
+    assert ckpt.copy_tag(str(tmp_path), "1", "one") == 1
