@@ -102,6 +102,12 @@ def train_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--save_latest_freq", type=int, default=20000)
     p.add_argument("--save_epoch_freq", type=int, default=5)
+    p.add_argument("--save_full_state", type=int, default=1,
+                   help="also write <tag>_state.msgpack (params + optimizer "
+                        "moments + rng + pools) for exact resume; per-net "
+                        "checkpoints (the reference's save_networks contract) "
+                        "are always written. 0 skips the full state — on "
+                        "slow disks a SPADE train state is multi-GB per save")
     p.add_argument("--epoch_base", type=int, default=1)
     p.add_argument("--iter_base", type=int, default=1)
     p.add_argument("--model", type=str, default="pix2pix",

@@ -213,7 +213,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             # the teacher's D (--restore_D_path, train_inception_student*.sh)
             ckpt.save_net(save_dir, tag, "D", {"params": state.d.params,
                                                **state.d.stats}, d_cfg)
-            ckpt.save_train_state(save_dir, tag, state)
+            if getattr(opt, "save_full_state", 1):
+                ckpt.save_train_state(save_dir, tag, state)
 
         task_state_box = [state]
 
@@ -272,7 +273,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
                               {"params": state.g.params[name]}, gen_cfg)
                 ckpt.save_net(save_dir, tag, f"D_{name}",
                               {"params": state.d.params[name]}, d_cfg)
-            ckpt.save_train_state(save_dir, tag, state)
+            if getattr(opt, "save_full_state", 1):
+                ckpt.save_train_state(save_dir, tag, state)
 
         def step_fn(state, batch, lr):
             state, metrics = task.train_step(state, batch, lr)
@@ -391,7 +393,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
                       {"params": state.g.params, **state.g.stats}, gen_cfg)
         ckpt.save_net(save_dir, tag, "D",
                       {"params": state.d.params, **state.d.stats}, d_cfg)
-        ckpt.save_train_state(save_dir, tag, state)
+        if getattr(opt, "save_full_state", 1):
+            ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
         state, metrics = task.train_step(state, batch, lr)
@@ -604,7 +607,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         state = jax.device_get(state)  # one batched fetch for all files
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params["G"], **state.g.stats}, student_cfg)
-        ckpt.save_train_state(save_dir, tag, state)
+        if getattr(opt, "save_full_state", 1):
+            ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
         state, metrics = dist.train_step(state, teacher_vars, batch, lr)
@@ -752,7 +756,8 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         ckpt.save_net(save_dir, tag, "G",
                       {"params": state.g.params["G"], "batch_stats": state.g.stats},
                       student_cfg)
-        ckpt.save_train_state(save_dir, tag, state)
+        if getattr(opt, "save_full_state", 1):
+            ckpt.save_train_state(save_dir, tag, state)
 
     def step_fn(state, batch, lr):
         state, metrics = dist.train_step(state, teacher_vars, batch, lr)

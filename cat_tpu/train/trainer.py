@@ -97,20 +97,23 @@ class Trainer:
                 self.save_fn(state, tag)
 
     def _evaluate(self, state, epoch: int, total_iter: int, message: str,
-                  extra_tags=()):
+                  extra_tags=(), save: bool = True):
         if self.evaluate_fn is None:
             # no evaluators configured (e.g. a judge-less zero-egress run):
             # still checkpoint 'latest' at cadence — the reference saves at
             # save_latest_freq/save_epoch_freq regardless of metrics
             # (trainer.py:141-151); skipping it loses work on preemption
             self.logger.print_info(message)
-            self._save_tags(state, ["latest", *extra_tags])
+            if save:
+                self._save_tags(state, ["latest", *extra_tags])
             return {}
         start = time.time()
         metrics, flags = self.evaluate_fn(state, total_iter)
         self.logger.print_current_metrics(epoch, total_iter, metrics, time.time() - start)
         self.logger.plot(metrics, total_iter)
         self.logger.print_info(message)
+        if not save:
+            return metrics
         tags = ["latest"]
         if flags.get("is_best"):
             tags += [f"iter{total_iter}", "best"]
@@ -151,7 +154,14 @@ class Trainer:
                     )
                     self.logger.plot(host, total_iter)
                 if total_iter % cfg.save_latest_freq == 0 or total_iter == cfg.iter_base:
-                    state = self._eval_and_continue(state, epoch, total_iter)
+                    # the iter_base eval is a startup smoke probe (metrics
+                    # from the initial weights); it logs but does not
+                    # checkpoint — the reference only saves at cadence
+                    state = self._eval_and_continue(
+                        state, epoch, total_iter,
+                        save=total_iter != cfg.iter_base or
+                        total_iter % cfg.save_latest_freq == 0,
+                    )
                 total_iter += 1
             self.logger.print_info(
                 "End of epoch %d / %d \t Time Taken: %.2f sec"
@@ -165,9 +175,12 @@ class Trainer:
                 )
         return state
 
-    def _eval_and_continue(self, state, epoch, total_iter):
+    def _eval_and_continue(self, state, epoch, total_iter, save: bool = True):
         self._evaluate(
             state, epoch, total_iter,
-            f"Saving the latest model (epoch {epoch}, total_steps {total_iter})",
+            f"Saving the latest model (epoch {epoch}, total_steps {total_iter})"
+            if save else
+            f"Evaluated the initial model (epoch {epoch}, total_steps {total_iter})",
+            save=save,
         )
         return state

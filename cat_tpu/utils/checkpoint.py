@@ -29,8 +29,13 @@ def save_pytree(path: str, tree: Any) -> None:
     # train-state save into ~20 minutes.
     host_tree = jax.device_get(tree)
     host_tree = jax.tree.map(np.asarray, host_tree)
-    with open(path, "wb") as f:
+    # atomic write: checkpoint files are replaced, never truncated in place,
+    # so copy_tag may hardlink tags to the same immutable inode and a crash
+    # mid-write never destroys the previous checkpoint
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, like: Optional[Any] = None) -> Any:
@@ -47,8 +52,10 @@ def save_net(save_dir: str, tag: str, net_name: str, variables: Any,
     path = os.path.join(save_dir, f"{tag}_net_{net_name}.msgpack")
     save_pytree(path, variables)
     if config is not None:
-        with open(path.replace(".msgpack", ".json"), "w") as f:
+        cfg_path = path.replace(".msgpack", ".json")
+        with open(cfg_path + ".tmp", "w") as f:
             f.write(config_to_json(config))
+        os.replace(cfg_path + ".tmp", cfg_path)
     return path
 
 
@@ -89,17 +96,29 @@ def copy_tag(save_dir: str, src_tag: str, dst_tag: str) -> int:
 
     n = 0
     for src in _glob.glob(os.path.join(save_dir, f"{src_tag}_*")):
+        if src.endswith(".tmp"):
+            continue
         base = os.path.basename(src)
         dst = os.path.join(save_dir, f"{dst_tag}_{base[len(src_tag) + 1:]}")
-        shutil.copyfile(src, dst)
+        # hardlink when possible: checkpoint inodes are immutable (atomic
+        # replace in save_pytree), so tags may share them — a multi-GB tag
+        # duplication costs nothing even on a slow disk
+        if os.path.exists(dst):
+            os.remove(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
         n += 1
     return n
 
 
 def save_meta(save_dir: str, tag: str, meta: Dict) -> None:
     os.makedirs(save_dir, exist_ok=True)
-    with open(os.path.join(save_dir, f"{tag}_meta.json"), "w") as f:
+    path = os.path.join(save_dir, f"{tag}_meta.json")
+    with open(path + ".tmp", "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(path + ".tmp", path)
 
 
 def load_meta(save_dir: str, tag: str) -> Dict:

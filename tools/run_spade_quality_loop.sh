@@ -46,7 +46,11 @@ COMMON="--dataset_mode cityscapes --input_nc $CLASSES \
   --crop_size $WIDTH --load_size $WIDTH --aspect_ratio 2.0 \
   --netG inception_spade --num_upsampling_layers normal \
   --norm_G spadesyncbatch3x3 --gan_mode hinge \
-  --lambda_vgg $LVGG --remat $REMAT"
+  --lambda_vgg $LVGG --remat $REMAT \
+  --save_full_state 0"
+# save_full_state 0: per-net checkpoints only (the reference's save_networks
+# contract); the full 2.6GB resume state per save is prohibitive on this
+# host's ~3.5MB/s disk
 
 mkdir -p "$WORK"
 
