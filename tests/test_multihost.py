@@ -49,9 +49,17 @@ def test_two_process_cluster(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    try:
+        for p in procs:
+            # generous: two cold jax.distributed compiles share the host and
+            # the suite may run beside other load on a 1-core box
+            out, _ = p.communicate(timeout=1800)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
 
