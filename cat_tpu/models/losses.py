@@ -60,6 +60,51 @@ def gan_loss(
     raise NotImplementedError(f"gan mode {mode} not implemented")
 
 
+def gradient_penalty(
+    d_apply,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    rng=None,
+    gp_type: str = "mixed",
+    constant: float = 1.0,
+    lambda_gp: float = 10.0,
+):
+    """WGAN-GP gradient penalty (reference models/modules/loss.py:100-147).
+
+    ``d_apply`` maps an image batch to discriminator logits (an array, or a
+    multiscale pyramid — any pytree of arrays; all leaves are summed, which
+    is what ``torch.autograd.grad`` with ones-grad_outputs does for lists).
+    The penalty is ``mean((||dD/dx||_2 - constant)^2) * lambda_gp`` with the
+    per-sample norm taken over flattened non-batch dims; the reference's
+    ``+ 1e-16`` shift before the norm is kept for bit-comparability.
+    Returns ``(penalty, gradients)``; ``(0.0, None)`` when ``lambda_gp <= 0``.
+    """
+    if lambda_gp <= 0.0:
+        return jnp.asarray(0.0), None
+    if gp_type == "real":
+        x = real
+    elif gp_type == "fake":
+        x = fake
+    elif gp_type == "mixed":
+        if rng is None:
+            raise ValueError("gp_type='mixed' requires an rng key")
+        alpha = jax.random.uniform(
+            rng, (real.shape[0],) + (1,) * (real.ndim - 1), dtype=real.dtype
+        )
+        x = alpha * real + (1.0 - alpha) * fake
+    else:
+        raise NotImplementedError(f"gradient penalty type {gp_type!r}")
+
+    def _total(inp):
+        out = d_apply(inp)
+        return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
+
+    grads = jax.grad(_total)(x)
+    flat = (grads + 1e-16).reshape(real.shape[0], -1)
+    norm = jnp.sqrt(jnp.sum(jnp.square(flat), axis=1))
+    return jnp.mean(jnp.square(norm - constant)) * lambda_gp, grads
+
+
 def recon_loss(x: jnp.ndarray, y: jnp.ndarray, kind: str = "l1") -> jnp.ndarray:
     """Reconstruction objective (l1 | l2 | smooth_l1)."""
     if kind == "l1":
