@@ -257,8 +257,10 @@ def make_vgg(opt):
 # inception families exist; architecture is recovered from checkpoint
 # config sidecars), --pretrained_netG/--pretrained_ngf/--teacher_ngf
 # (sidecars again — the teacher net is rebuilt from its checkpoint's
-# config, not from a width flag), --moving_average_decay (reference
-# default 0.0; EMA path vestigial), --prune_continue (subsumed by
+# config, not from a width flag), --moving_average_start_epoch (the decay
+# itself IS consumed: --moving_average_decay drives a real student-G EMA in
+# the inception distiller — the reference declares the flag and never reads
+# it), --prune_continue (subsumed by
 # --restore_student_G_path) / --prune_logging_verbose (reference debug
 # extras).  tests/test_flags_audit.py enforces that any OTHER accepted
 # flag is consumed somewhere.

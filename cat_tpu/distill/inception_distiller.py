@@ -65,6 +65,12 @@ class DistillHParams:
     # rematerialise the student forward (jax.checkpoint): recompute instead
     # of storing G activations in the backward — memory for FLOPs
     remat: bool = False
+    # exponential moving average of the student generator weights
+    # (--moving_average_decay).  The reference DECLARES this flag but never
+    # consumes it (train_options.py:129-142, no other reference file reads
+    # it); here it is implemented for real: ema = d*ema + (1-d)*params after
+    # every G step, evaluation/deployment uses the EMA weights.  0 = off.
+    ema_decay: float = 0.0
 
 
 class Adaptor(nn.Module):
@@ -173,11 +179,17 @@ class InceptionDistiller:
             )["params"]
 
         g_group = {"G": s_params, "A": a_params}
+        extra = None
+        if self.hp.ema_decay > 0:
+            # real copies — the train step donates its input buffers, so the
+            # EMA tree must not alias the raw params
+            extra = {"ema_G": jax.tree.map(jnp.copy, s_params)}
         return GANTrainState(
             step=jnp.zeros((), jnp.int32),
             g=NetState(g_group, self.tx.init(g_group), s_stats),
             d=NetState(d_params, self.tx.init(d_params), d_stats),
             rng=keys[3],
+            extra=extra,
         )
 
     # ------------------------------------------------------------------- step
@@ -314,11 +326,22 @@ class InceptionDistiller:
             self.tx, state.g.params, g_grads, state.g.opt_state, lr
         )
 
+        extra = state.extra
+        if hp.ema_decay > 0 and extra is not None:
+            d_ema = hp.ema_decay
+            extra = {
+                "ema_G": jax.tree.map(
+                    lambda e, p: e * d_ema + p * (1.0 - d_ema),
+                    extra["ema_G"], g_params["G"],
+                )
+            }
+
         new_state = GANTrainState(
             step=state.step + 1,
             g=NetState(g_params, g_opt, s_stats),
             d=NetState(d_params, d_opt, d_stats),
             rng=rng,
+            extra=extra,
         )
         metrics = {
             "G_loss/gan": l_g_gan,
@@ -337,8 +360,15 @@ class InceptionDistiller:
 
     # -------------------------------------------------------------- inference
 
+    def student_eval_params(self, state: GANTrainState):
+        """EMA weights when --moving_average_decay is on, else the raw
+        trained weights — what evaluation and deployment should use."""
+        if isinstance(state.extra, dict) and "ema_G" in state.extra:
+            return state.extra["ema_G"]
+        return state.g.params["G"]
+
     def generate_student(self, state: GANTrainState, x: jnp.ndarray) -> jnp.ndarray:
-        return self._gen_student(state.g.params["G"], state.g.stats, x)
+        return self._gen_student(self.student_eval_params(state), state.g.stats, x)
 
     def generate_teacher(self, teacher_variables: Dict, x: jnp.ndarray) -> jnp.ndarray:
         return self._gen_teacher(

@@ -690,6 +690,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         fused_norms=opt.fused_norms,
         packed_blocks=_packed(opt, True),
         remat=bool(getattr(opt, "remat", 0)),
+        ema_decay=getattr(opt, "moving_average_decay", 0.0),
     )
     d_in = (teacher_cfg.input_nc + teacher_cfg.output_nc
             if opt.dataset_mode == "aligned" else teacher_cfg.output_nc)
@@ -753,9 +754,19 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
 
     def save_fn(state, tag):
         state = jax.device_get(state)  # one batched fetch for all files
+        # net_G holds what evaluation/deployment uses: the EMA weights when
+        # --moving_average_decay is on (so best-checkpoint tracking matches
+        # the evaluated function), else the raw trained weights; the raw
+        # weights are then kept alongside as net_G_raw
+        eval_params = dist.student_eval_params(state)
         ckpt.save_net(save_dir, tag, "G",
-                      {"params": state.g.params["G"], "batch_stats": state.g.stats},
+                      {"params": eval_params, "batch_stats": state.g.stats},
                       student_cfg)
+        if eval_params is not state.g.params["G"]:
+            ckpt.save_net(save_dir, tag, "G_raw",
+                          {"params": state.g.params["G"],
+                           "batch_stats": state.g.stats},
+                          student_cfg)
         if getattr(opt, "save_full_state", 1):
             ckpt.save_train_state(save_dir, tag, state)
 

@@ -31,8 +31,7 @@ DOCUMENTED_INERT = {
     "pretrained_netG": "same",
     "pretrained_ngf": "recovered from checkpoint shapes",
     "teacher_ngf": "teacher arch recovered from its checkpoint's config sidecar",
-    "moving_average_decay": "reference EMA path vestigial (default 0.0)",
-    "moving_average_start_epoch": "same",
+    "moving_average_start_epoch": "EMA starts at step 0 (decay flag itself IS consumed)",
     "prune_continue": "subsumed by --restore_student_G_path",
     "prune_logging_verbose": "reference debug extra",
     "restore_O_path": "subsumed by --restore_state_path (warned at runtime)",

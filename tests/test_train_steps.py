@@ -149,6 +149,50 @@ def test_image_pool_semantics():
         buffered = set(float(x) for x in np.asarray(pool2.buffer)[:, 0, 0, 0]) | buffered
 
 
+def test_distiller_ema(rng):
+    """--moving_average_decay keeps an EMA of the student-G weights (the
+    reference declares the flag but never consumes it; here it is real):
+    after one step ema == d*init + (1-d)*trained, and evaluation uses the
+    EMA weights while the optimizer keeps training the raw ones."""
+    hp = DistillHParams(
+        dataset_mode="aligned", gan_mode="lsgan", distill_loss_type="ka",
+        lambda_recon=5.0, mapping_layers=("encode", "block1"),
+        ema_decay=0.9,
+    )
+    dist = InceptionDistiller(tiny_gen(8), tiny_gen(4), hp=hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, 3)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    init_g = jax.tree.map(np.asarray, state.g.params["G"])
+    assert isinstance(state.extra, dict) and "ema_G" in state.extra
+    # at init the EMA equals the raw weights
+    for e, p in zip(jax.tree.leaves(state.extra["ema_G"]), jax.tree.leaves(init_g)):
+        np.testing.assert_allclose(np.asarray(e), p)
+
+    batch = fake_batch(rng)
+    state, _ = dist.train_step(state, tv, batch, 2e-4)
+    expected = jax.tree.map(
+        lambda i, p: 0.9 * i + 0.1 * np.asarray(p), init_g, state.g.params["G"]
+    )
+    for e, x in zip(jax.tree.leaves(state.extra["ema_G"]), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(e), x, rtol=1e-6, atol=1e-7)
+
+    # evaluation path consumes the EMA weights, not the raw trained ones
+    ema_out = dist.generate_student(state, batch["A"])
+    raw_out = dist._gen_student(state.g.params["G"], state.g.stats, batch["A"])
+    assert not np.allclose(np.asarray(ema_out), np.asarray(raw_out))
+
+    # decay 0 (the default) keeps extra empty and evaluates raw weights
+    hp0 = DistillHParams(
+        dataset_mode="aligned", gan_mode="lsgan", distill_loss_type="ka",
+        lambda_recon=5.0, mapping_layers=("encode", "block1"),
+    )
+    dist0 = InceptionDistiller(tiny_gen(8), tiny_gen(4), hp=hp0)
+    tv0 = dist0.netG_teacher.init(jax.random.PRNGKey(7), jnp.zeros((1, SIZE, SIZE, 3)))
+    state0, _ = dist0.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv0)
+    assert state0.extra is None
+    assert dist0.student_eval_params(state0) is state0.g.params["G"]
+
+
 def test_cyclegan_remat_step_matches(rng):
     """hp.remat=True must be numerically identical (jax.checkpoint only
     changes what is stored vs recomputed)."""
