@@ -132,6 +132,8 @@ def train_arguments(parser: argparse.ArgumentParser):
     p.add_argument("--active_fn", type=str, default="nn.ReLU")
     p.add_argument("--active_fn_D", type=str, default="nn.LeakyReLU")
     p.add_argument("--moving_average_decay", type=float, default=0.0)
+    p.add_argument("--moving_average_decay_adjust", action="store_true")
+    p.add_argument("--moving_average_decay_base_batch", type=int, default=32)
     p.add_argument("--nepochs", type=int, default=5)
     p.add_argument("--nepochs_decay", type=int, default=15)
     p.add_argument("--beta1", type=float, default=0.5)
@@ -257,13 +259,14 @@ def make_vgg(opt):
 # inception families exist; architecture is recovered from checkpoint
 # config sidecars), --pretrained_netG/--pretrained_ngf/--teacher_ngf
 # (sidecars again — the teacher net is rebuilt from its checkpoint's
-# config, not from a width flag), --moving_average_start_epoch (the decay
-# itself IS consumed: --moving_average_decay drives a real student-G EMA in
-# the inception distiller — the reference declares the flag and never reads
-# it), --prune_continue (subsumed by
+# config, not from a width flag), --prune_continue (subsumed by
 # --restore_student_G_path) / --prune_logging_verbose (reference debug
-# extras).  tests/test_flags_audit.py enforces that any OTHER accepted
-# flag is consumed somewhere.
+# extras).  The EMA trio (--moving_average_decay[_adjust/_base_batch],
+# reference distill_options.py:160-172) is NOT inert here: the reference
+# declares it and never reads it; cat_tpu implements a real student-G EMA
+# in the inception distiller, with the adjust flag scaling the decay as
+# d**(batch_size/base_batch).  tests/test_flags_audit.py enforces that any
+# OTHER accepted flag is consumed somewhere.
 
 
 def distill_arguments(parser: argparse.ArgumentParser):

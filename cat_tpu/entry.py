@@ -36,6 +36,20 @@ def _packed(opt, family_default: bool) -> bool:
     return family_default if v is None else bool(v)
 
 
+def _ema_decay(opt) -> float:
+    """Effective student-G EMA decay (reference declares the trio at
+    distill_options.py:160-172 but never reads it; here it is real).
+    --moving_average_decay_adjust rescales the per-step decay for the
+    actual batch size as d**(B/B_base): larger batches take fewer steps
+    per epoch, so the per-step decay must shrink to keep the averaging
+    horizon constant in epochs."""
+    d = getattr(opt, "moving_average_decay", 0.0)
+    if d > 0 and getattr(opt, "moving_average_decay_adjust", False):
+        base = max(int(getattr(opt, "moving_average_decay_base_batch", 32)), 1)
+        d = float(d) ** (float(opt.batch_size) / base)
+    return float(d)
+
+
 def _maybe_restore_state(opt, state):
     """--restore_state_path: resume the FULL train state (params, Adam
     moments, norm stats, RNG, pools) saved by every save_fn as
@@ -690,7 +704,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         fused_norms=opt.fused_norms,
         packed_blocks=_packed(opt, True),
         remat=bool(getattr(opt, "remat", 0)),
-        ema_decay=getattr(opt, "moving_average_decay", 0.0),
+        ema_decay=_ema_decay(opt),
     )
     d_in = (teacher_cfg.input_nc + teacher_cfg.output_nc
             if opt.dataset_mode == "aligned" else teacher_cfg.output_nc)

@@ -31,7 +31,6 @@ DOCUMENTED_INERT = {
     "pretrained_netG": "same",
     "pretrained_ngf": "recovered from checkpoint shapes",
     "teacher_ngf": "teacher arch recovered from its checkpoint's config sidecar",
-    "moving_average_start_epoch": "EMA starts at step 0 (decay flag itself IS consumed)",
     "prune_continue": "subsumed by --restore_student_G_path",
     "prune_logging_verbose": "reference debug extra",
     "restore_O_path": "subsumed by --restore_state_path (warned at runtime)",
@@ -83,6 +82,27 @@ def test_every_flag_consumed_or_documented_inert():
     )
 
 
+def test_ema_decay_adjust():
+    """--moving_average_decay_adjust scales the per-step decay as
+    d**(B/B_base) so the averaging horizon is constant in epochs."""
+    from types import SimpleNamespace as NS
+
+    from cat_tpu.entry import _ema_decay
+
+    assert _ema_decay(NS(moving_average_decay=0.0,
+                         moving_average_decay_adjust=True,
+                         moving_average_decay_base_batch=32,
+                         batch_size=64)) == 0.0
+    assert _ema_decay(NS(moving_average_decay=0.99,
+                         moving_average_decay_adjust=False,
+                         moving_average_decay_base_batch=32,
+                         batch_size=64)) == pytest.approx(0.99)
+    assert _ema_decay(NS(moving_average_decay=0.99,
+                         moving_average_decay_adjust=True,
+                         moving_average_decay_base_batch=32,
+                         batch_size=64)) == pytest.approx(0.99 ** 2)
+
+
 def test_inert_list_matches_cli_comment():
     """The audit's inert list and cli.py's human-readable comment must not
     drift apart."""
@@ -91,7 +111,7 @@ def test_inert_list_matches_cli_comment():
     start = src.index("Deliberately-accepted-but-inert")
     comment = src[start : src.index("def ", start)]
     for name in DOCUMENTED_INERT:
-        if name in ("moving_average_start_epoch", "restore_O_path"):
+        if name in ("restore_O_path",):
             continue  # grouped under their siblings in the comment
         assert f"--{name}" in comment or name in comment, (
             f"{name} missing from cli.py's documented-inert comment"
