@@ -169,7 +169,7 @@ def _device_batches(dataroot, n):
         yield dd.sample(_jax.random.fold_in(key, s_), BATCH)
 
 
-def _emit(ips: float, res, suffix: str = "") -> float:
+def _emit(ips: float, res, suffix: str = "", bootstrap: bool = False) -> float:
     """Print one driver-parsable JSON line; returns vs_baseline.
 
     Called more than once per run (provisional line first, refined line
@@ -180,6 +180,11 @@ def _emit(ips: float, res, suffix: str = "") -> float:
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             base = json.load(f)["images_per_sec"]
+    elif not bootstrap:
+        # only the final refined measurement may seed the baseline file —
+        # persisting a provisional (low-effort-compile or 3-iter) number
+        # would inflate every later vs_baseline
+        base = ips
     else:
         base = ips
         with open(BASELINE_PATH, "w") as f:
@@ -264,6 +269,13 @@ def main():
             compiler_options={"exec_time_optimization_effort": -1.0}
         )
         log(f"low-effort executable in {time.perf_counter() - t:.1f}s")
+    except Exception as e:  # pragma: no cover - backend without effort knob
+        # nothing has EXECUTED yet (state buffers intact), so falling back
+        # to the monolithic jit path below is safe
+        log(f"two-phase compile unavailable ({e!r}); monolithic compile")
+    else:
+        # from the first fast() on, state's input buffers are donated — a
+        # failure past this point must never fall back to re-using `state`
         state, metrics = fast(state, teacher_vars, batch, lr)
         float(metrics["G_loss/recon"])  # full device sync (block_until_ready
         # is unreliable over the axon tunnel for non-scalar futures)
@@ -276,14 +288,16 @@ def main():
         log(f"phase-1 line emitted (vs_baseline {vsb:.3f}); phase-2 "
             "default-effort compile")
         t = time.perf_counter()
-        tuned = lowered.compile()
-        log(f"default-effort executable in {time.perf_counter() - t:.1f}s")
+        try:
+            tuned = lowered.compile()
+            log(f"default-effort executable in {time.perf_counter() - t:.1f}s")
+        except Exception as e:  # pragma: no cover
+            log(f"default-effort compile failed ({e!r}); keeping the "
+                "low-effort executable — numbers stay valid, just slower")
+            tuned = fast
 
         def step(state, tv, b, lr_f):  # shadows the jit wrapper on purpose
             return tuned(state, tv, b, jnp.asarray(lr_f, jnp.float32))
-
-    except Exception as e:  # pragma: no cover - backend without effort knob
-        log(f"two-phase compile unavailable ({e!r}); monolithic compile")
 
     state, metrics = step(state, teacher_vars, batch, 2e-4)
     jax.block_until_ready(metrics)
@@ -323,7 +337,8 @@ def main():
     ips = BATCH * ITERS / dt
     vsb = _emit(ips, res,
                 (", disk-fed" if dataroot else "")
-                + (", device-bank-fed" if devdata else ""))
+                + (", device-bank-fed" if devdata else ""),
+                bootstrap=True)
     log(f"refined line emitted: {ips:.1f} img/s (vs_baseline {vsb:.3f})")
 
 

@@ -82,6 +82,16 @@ class DataLoader:
         self.process_shard = process_shard
         self.worker_mode = worker_mode
         self._pool = None
+        if process_shard is not None:
+            # validate BEFORE forking the pool: raising after _make_pool
+            # would orphan live workers (each a fork of the whole dataset)
+            pid, pcount = process_shard
+            if batch_size % pcount:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"{pcount} processes"
+                )
+            assert 0 <= pid < pcount
         if worker_mode == "process" and num_workers > 0 and prefetch > 0:
             # fork the worker pool EAGERLY, at construction: by first
             # iteration JAX (and possibly the TPU runtime) has spawned
@@ -92,14 +102,6 @@ class DataLoader:
             # prefer worker_mode='native' or the device bank for cached
             # small datasets.)
             self._make_pool()
-        if process_shard is not None:
-            pid, pcount = process_shard
-            if batch_size % pcount:
-                raise ValueError(
-                    f"global batch {batch_size} not divisible by "
-                    f"{pcount} processes"
-                )
-            assert 0 <= pid < pcount
         self.rng = random.Random(seed)
 
     def __len__(self):

@@ -35,7 +35,7 @@ from cat_tpu.core.config import InceptionGeneratorConfig, NLayerDiscriminatorCon
 from cat_tpu.distill.ka import ka
 from cat_tpu.models.discriminators import NLayerDiscriminator
 from cat_tpu.models.generator import DEFAULT_MAPPING_LAYERS, InceptionGenerator
-from cat_tpu.models.losses import gan_loss, recon_loss
+from cat_tpu.models.losses import gan_loss, gradient_penalty, recon_loss
 from cat_tpu.train.common import GANTrainState, NetState, apply_net, split_variables
 from cat_tpu.train.optim import adam_tx, apply_updates
 
@@ -232,7 +232,7 @@ class InceptionDistiller:
         real_A = down(batch["A"])
         real_B = batch.get("B", batch["A"])
         taps = hp.mapping_layers
-        rng, r_drop = jax.random.split(state.rng)
+        rng, r_drop, r_gp = jax.random.split(state.rng, 3)
 
         # --- teacher forward: frozen, eval mode ---
         (t_fake, t_acts), _ = apply_net(
@@ -287,7 +287,19 @@ class InceptionDistiller:
             )
             lf = gan_loss(up(pred_fake), False, hp.gan_mode, True)
             lr_ = gan_loss(up(pred_real), True, hp.gan_mode, True)
-            return 0.5 * (lf + lr_), (lf, lr_, d2)
+            loss = 0.5 * (lf + lr_)
+            if hp.gan_mode == "wgangp":
+                # reference cal_gradient_penalty has zero call sites; here
+                # the Lipschitz penalty actually constrains the critic
+                def d_apply(x):
+                    pred, _ = apply_net(self.netD, down(d_params),
+                                        state.d.stats, x, train=True)
+                    return up(pred)
+
+                l_gp, _ = gradient_penalty(d_apply, real_in, fake_in,
+                                           rng=r_gp)
+                loss = loss + l_gp
+            return loss, (lf, lr_, d2)
 
         (_, (l_d_fake, l_d_real, d_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

@@ -229,6 +229,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
                                                **state.d.stats}, d_cfg)
             if getattr(opt, "save_full_state", 1):
                 ckpt.save_train_state(save_dir, tag, state)
+            else:
+                ckpt.remove_stale(save_dir, tag, "state.msgpack")
 
         task_state_box = [state]
 
@@ -289,6 +291,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
                               {"params": state.d.params[name]}, d_cfg)
             if getattr(opt, "save_full_state", 1):
                 ckpt.save_train_state(save_dir, tag, state)
+            else:
+                ckpt.remove_stale(save_dir, tag, "state.msgpack")
 
         def step_fn(state, batch, lr):
             state, metrics = task.train_step(state, batch, lr)
@@ -409,6 +413,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
                       {"params": state.d.params, **state.d.stats}, d_cfg)
         if getattr(opt, "save_full_state", 1):
             ckpt.save_train_state(save_dir, tag, state)
+        else:
+            ckpt.remove_stale(save_dir, tag, "state.msgpack")
 
     def step_fn(state, batch, lr):
         state, metrics = task.train_step(state, batch, lr)
@@ -623,6 +629,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
                       {"params": state.g.params["G"], **state.g.stats}, student_cfg)
         if getattr(opt, "save_full_state", 1):
             ckpt.save_train_state(save_dir, tag, state)
+        else:
+            ckpt.remove_stale(save_dir, tag, "state.msgpack")
 
     def step_fn(state, batch, lr):
         state, metrics = dist.train_step(state, teacher_vars, batch, lr)
@@ -781,8 +789,13 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
                           {"params": state.g.params["G"],
                            "batch_stats": state.g.stats},
                           student_cfg)
+        else:
+            ckpt.remove_stale(save_dir, tag, "net_G_raw.msgpack")
+            ckpt.remove_stale(save_dir, tag, "net_G_raw.json")
         if getattr(opt, "save_full_state", 1):
             ckpt.save_train_state(save_dir, tag, state)
+        else:
+            ckpt.remove_stale(save_dir, tag, "state.msgpack")
 
     def step_fn(state, batch, lr):
         state, metrics = dist.train_step(state, teacher_vars, batch, lr)

@@ -100,7 +100,9 @@ def gradient_penalty(
         return sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
 
     grads = jax.grad(_total)(x)
-    flat = (grads + 1e-16).reshape(real.shape[0], -1)
+    # norm in f32: under bf16 compute the +1e-16 shift (which keeps the
+    # norm's backward finite at zero gradients) would underflow to 0
+    flat = (grads.astype(jnp.float32) + 1e-16).reshape(real.shape[0], -1)
     norm = jnp.sqrt(jnp.sum(jnp.square(flat), axis=1))
     return jnp.mean(jnp.square(norm - constant)) * lambda_gp, grads
 

@@ -91,18 +91,38 @@ def init_on_cpu(fn, *args, **kwargs):
         # minutes of latency — trace the whole init into ONE program.  It
         # runs exactly once, so compile at XLA:CPU optimization level 0
         # (~3x faster compile, measured 58s -> 21s on the flagship teacher
-        # init).  Fall back to eager if fn isn't traceable (host-side
-        # randomness, data-dependent control flow) or the backend rejects
-        # the compiler options.
+        # init).  Shape-like args (Python ints such as height/width) must be
+        # STATIC: traced, they'd turn jnp.zeros((1, h, w, c)) into a
+        # data-dependent shape and kill the trace — so only args whose
+        # pytree leaves contain arrays are passed as operands; the rest are
+        # closed over.  Fall back to eager if fn still isn't traceable
+        # (host-side randomness, data-dependent control flow) or the
+        # backend rejects the compiler options.
+        def has_arrays(x):
+            import numpy as _np
+
+            return any(isinstance(l, (jax.Array, _np.ndarray))
+                       for l in jax.tree.leaves(x))
+
+        traced_idx = [i for i, a in enumerate(args) if has_arrays(a)]
+
+        def wrapped(traced_args, traced_kwargs):
+            it = iter(traced_args)
+            full = [next(it) if i in traced_idx else args[i]
+                    for i in range(len(args))]
+            return fn(*full, **{**kwargs, **traced_kwargs})
+
+        t_args = [args[i] for i in traced_idx]
+        t_kwargs = {k: v for k, v in kwargs.items() if has_arrays(v)}
         try:
-            lowered = jax.jit(fn).lower(*args, **kwargs)
+            lowered = jax.jit(wrapped).lower(t_args, t_kwargs)
             compiled = lowered.compile(
                 compiler_options={"xla_backend_optimization_level": "0"}
             )
-            return compiled(*args, **kwargs)
+            return compiled(t_args, t_kwargs)
         except Exception:
             try:
-                return jax.jit(fn)(*args, **kwargs)
+                return jax.jit(wrapped)(t_args, t_kwargs)
             except Exception:
                 return fn(*args, **kwargs)
 

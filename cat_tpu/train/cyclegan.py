@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from cat_tpu.core.config import InceptionGeneratorConfig, NLayerDiscriminatorConfig
 from cat_tpu.models.discriminators import NLayerDiscriminator
 from cat_tpu.models.generator import InceptionGenerator
-from cat_tpu.models.losses import gan_loss, recon_loss
+from cat_tpu.models.losses import gan_loss, gradient_penalty, recon_loss
 from cat_tpu.train.common import GANTrainState, NetState, apply_net, split_variables
 from cat_tpu.train.optim import adam_tx, apply_updates
 from cat_tpu.utils.image_pool import PoolState, pool_init, pool_query
@@ -112,7 +112,7 @@ class CycleGANTask:
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         hp = self.hp
         real_A, real_B = batch["A"], batch["B"]
-        rng, r_pool_a, r_pool_b = jax.random.split(state.rng, 3)
+        rng, r_pool_a, r_pool_b, r_gp_a, r_gp_b = jax.random.split(state.rng, 5)
         d_params, d_stats = state.d.params, state.d.stats
 
         def g_fwd(g_params, name, x):
@@ -169,9 +169,9 @@ class CycleGANTask:
         def d_loss_fn(d_params):
             losses = {}
             new_stats = {}
-            for name, real, fake in (
-                ("A", real_B, fake_B_mixed),
-                ("B", real_A, fake_A_mixed),
+            for name, real, fake, r_gp in (
+                ("A", real_B, fake_B_mixed, r_gp_a),
+                ("B", real_A, fake_A_mixed, r_gp_b),
             ):
                 pred_real, s1 = apply_net(
                     self.netD, d_params[name], d_stats[name], real,
@@ -184,8 +184,19 @@ class CycleGANTask:
                     gan_loss(pred_real, True, hp.gan_mode, True)
                     + gan_loss(pred_fake, False, hp.gan_mode, True)
                 )
+                if hp.gan_mode == "wgangp":
+                    # reference cal_gradient_penalty has zero call sites;
+                    # here the Lipschitz penalty actually constrains D
+                    dp, ds = d_params[name], d_stats[name]
+
+                    def d_apply(x, dp=dp, ds=ds):
+                        pred, _ = apply_net(self.netD, dp, ds, x, train=True)
+                        return pred
+
+                    gp, _ = gradient_penalty(d_apply, real, fake, rng=r_gp)
+                    losses[f"D_loss/gp_{name}"] = gp
                 new_stats[name] = s2
-            return losses["D_loss/A"] + losses["D_loss/B"], (losses, new_stats)
+            return sum(losses.values()), (losses, new_stats)
 
         (_, (d_losses, d_stats_new)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True

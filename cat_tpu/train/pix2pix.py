@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from cat_tpu.core.config import InceptionGeneratorConfig, NLayerDiscriminatorConfig
 from cat_tpu.models.discriminators import NLayerDiscriminator
 from cat_tpu.models.generator import InceptionGenerator
-from cat_tpu.models.losses import gan_loss, recon_loss
+from cat_tpu.models.losses import gan_loss, gradient_penalty, recon_loss
 from cat_tpu.train.common import GANTrainState, NetState, apply_net, split_variables
 from cat_tpu.train.optim import adam_tx, apply_updates
 
@@ -101,7 +101,7 @@ class Pix2PixTask:
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         hp = self.hp
         real_A, real_B = batch["A"], batch["B"]
-        rng, r_drop = jax.random.split(state.rng)
+        rng, r_drop, r_gp = jax.random.split(state.rng, 3)
 
         # --- generator forward once, saving residuals ---
         def g_forward(g_params):
@@ -135,9 +135,24 @@ class Pix2PixTask:
             )
             l_fake = gan_loss(pred_fake, False, hp.gan_mode, True)
             l_real = gan_loss(pred_real, True, hp.gan_mode, True)
-            return 0.5 * (l_fake + l_real), (l_fake, l_real, d_stats2)
+            loss = 0.5 * (l_fake + l_real)
+            l_gp = jnp.asarray(0.0)
+            if hp.gan_mode == "wgangp":
+                # the reference implements cal_gradient_penalty but never
+                # calls it (loss.py:100-147, zero call sites) — here the
+                # Lipschitz penalty IS applied, or the wgangp critic trains
+                # unconstrained and diverges
+                def d_apply(x):
+                    pred, _ = apply_net(self.netD, d_params, state.d.stats,
+                                        x, train=True)
+                    return pred
 
-        (_, (l_d_fake, l_d_real, d_stats)), d_grads = jax.value_and_grad(
+                l_gp, _ = gradient_penalty(d_apply, real_pair, fake_pair,
+                                           rng=r_gp)
+                loss = loss + l_gp
+            return loss, (l_fake, l_real, l_gp, d_stats2)
+
+        (_, (l_d_fake, l_d_real, l_d_gp, d_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )(state.d.params)
         d_params, d_opt = apply_updates(
@@ -172,6 +187,8 @@ class Pix2PixTask:
             "D_loss/fake": l_d_fake,
             "D_loss/real": l_d_real,
         }
+        if hp.gan_mode == "wgangp":
+            metrics["D_loss/gp"] = l_d_gp
         return new_state, metrics
 
     def train_step(self, state, batch, lr):

@@ -112,15 +112,24 @@ class Trainer:
         self.logger.print_current_metrics(epoch, total_iter, metrics, time.time() - start)
         self.logger.plot(metrics, total_iter)
         self.logger.print_info(message)
+        best_tags = []
+        if flags.get("is_best"):
+            best_tags.append("best")
+        if flags.get("is_best_A"):
+            best_tags.append("best_A")
+        if flags.get("is_best_B"):
+            best_tags.append("best_B")
         if not save:
+            # the startup probe doesn't checkpoint at cadence, but the eval
+            # above already registered any new best in the tracker — that
+            # best must exist on disk or a run whose later evals never beat
+            # it ends with no (or a stale) best_net_G
+            if best_tags:
+                self._save_tags(state, best_tags)
             return metrics
         tags = ["latest"]
-        if flags.get("is_best"):
-            tags += [f"iter{total_iter}", "best"]
-        if flags.get("is_best_A"):
-            tags += [f"iter{total_iter}", "best_A"]
-        if flags.get("is_best_B"):
-            tags += [f"iter{total_iter}", "best_B"]
+        if best_tags:
+            tags += [f"iter{total_iter}", *best_tags]
         self._save_tags(state, tags + list(extra_tags))
         return metrics
 

@@ -94,10 +94,25 @@ def copy_tag(save_dir: str, src_tag: str, dst_tag: str) -> int:
     import glob as _glob
     import shutil
 
+    def tag_files(tag):
+        # only the suffixes checkpointing writes — a bare `<tag>_*` glob
+        # would make tag 'best' match (and clobber) 'best_A_net_G.msgpack'
+        out = []
+        for pat in (f"{tag}_net_*", f"{tag}_state.msgpack", f"{tag}_meta.json"):
+            out.extend(_glob.glob(os.path.join(save_dir, pat)))
+        return [p for p in out if not p.endswith(".tmp")]
+
+    srcs = tag_files(src_tag)
+    suffixes = {os.path.basename(p)[len(src_tag) + 1:] for p in srcs}
+    # stale dst files with no src counterpart are leftovers from an earlier
+    # run with different options (e.g. --save_full_state 1 then 0): copying
+    # around them would pair this run's best_net_G with last run's
+    # best_state — remove them instead
+    for dst in tag_files(dst_tag):
+        if os.path.basename(dst)[len(dst_tag) + 1:] not in suffixes:
+            os.remove(dst)
     n = 0
-    for src in _glob.glob(os.path.join(save_dir, f"{src_tag}_*")):
-        if src.endswith(".tmp"):
-            continue
+    for src in srcs:
         base = os.path.basename(src)
         dst = os.path.join(save_dir, f"{dst_tag}_{base[len(src_tag) + 1:]}")
         # hardlink when possible: checkpoint inodes are immutable (atomic
@@ -111,6 +126,16 @@ def copy_tag(save_dir: str, src_tag: str, dst_tag: str) -> int:
             shutil.copyfile(src, dst)
         n += 1
     return n
+
+
+def remove_stale(save_dir: str, tag: str, suffix: str) -> None:
+    """Remove ``<tag>_<suffix>`` left by an earlier run whose options wrote
+    it (e.g. a --save_full_state 1 run's latest_state.msgpack) when the
+    current run deliberately does not — otherwise tag copies would pair
+    this run's nets with last run's state."""
+    path = os.path.join(save_dir, f"{tag}_{suffix}")
+    if os.path.exists(path):
+        os.remove(path)
 
 
 def save_meta(save_dir: str, tag: str, meta: Dict) -> None:

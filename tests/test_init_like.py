@@ -99,3 +99,34 @@ def test_env_gate_routes_init_on_cpu(small_cfg, monkeypatch):
     # numpy leaves, not jax arrays: proof no XLA program ran
     leaves = jax.tree_util.tree_leaves(fast)
     assert all(isinstance(l, np.ndarray) for l in leaves)
+
+
+def test_init_on_cpu_jit_path_with_static_shape_args(small_cfg, monkeypatch):
+    """On a non-CPU default backend init_on_cpu traces the init into ONE
+    program.  Shape args (Python ints) must be closed over as static —
+    traced, jnp.zeros((1, h, w, c)) would raise and the code would silently
+    fall back to the eager per-op dispatch storm the path exists to avoid.
+    Force the jit branch on the CPU backend and require it to produce the
+    exact eager result, with the fallback disabled."""
+    from cat_tpu.train import common
+
+    net = InceptionGenerator(small_cfg)
+    saw_tracer = []
+
+    def build(rng, height, width):
+        # height/width must arrive static (Python ints), rng as a tracer —
+        # proof the jit branch ran instead of the eager fallback
+        assert isinstance(height, int) and isinstance(width, int)
+        saw_tracer.append(isinstance(rng, jax.core.Tracer))
+        return net.init(rng, jnp.zeros((1, height, width, 3)))
+
+    rng = jax.random.PRNGKey(3)
+    eager = build(rng, 32, 32)
+
+    monkeypatch.setattr(common.jax, "default_backend", lambda: "tpu")
+    jitted = common.init_on_cpu(build, rng, 32, 32)
+    assert any(saw_tracer), "init_on_cpu fell back to eager dispatch"
+    # same math up to jit fusion reassociation (~1e-9)
+    for a, b in zip(jax.tree.leaves(eager), jax.tree.leaves(jitted)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

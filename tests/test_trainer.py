@@ -158,9 +158,10 @@ def test_trainer_single_serialisation_with_copy_tag(tmp_path):
                       logger=Logger(str(tmp_path)),
                       copy_tag_fn=lambda s, d: copies.append((s, d)))
     trainer.fit(0)
-    # iter_base eval is a smoke probe (no save); epoch-end eval serialises
-    # exactly once
-    assert saves == ["latest"]
+    # iter_base eval is a smoke probe (no cadence save) — but it registered
+    # a best in the tracker, so the best tag must hit disk; the epoch-end
+    # eval then serialises exactly once more
+    assert saves == ["best", "latest"]
     # everything else arrived as host-side copies of 'latest'
     assert ("latest", "best") in copies
     assert ("latest", "1") in copies
@@ -179,3 +180,28 @@ def test_copy_tag_duplicates_checkpoint_files(tmp_path):
     ckpt.save_train_state(str(tmp_path), "1", tree)
     ckpt.save_train_state(str(tmp_path), "10", tree)
     assert ckpt.copy_tag(str(tmp_path), "1", "one") == 1
+
+
+def test_copy_tag_removes_stale_and_respects_sibling_tags(tmp_path):
+    """A dst-tag file with no src counterpart is a leftover from an earlier
+    run with different options (e.g. --save_full_state 1 then 0) and must
+    be removed, or the new best_net_G would pair with last run's
+    best_state; and tag 'best' must never touch 'best_A_*' files."""
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    # run 1: full state saved under best
+    ckpt.save_net(str(tmp_path), "best", "G", tree)
+    ckpt.save_train_state(str(tmp_path), "best", tree)
+    ckpt.save_net(str(tmp_path), "best_A", "G", {"w": tree["w"] * 2})
+    # run 2: saves nets only (no state) under latest, then copies tags
+    tree2 = {"w": tree["w"] + 10}
+    ckpt.save_net(str(tmp_path), "latest", "G", tree2)
+    n = ckpt.copy_tag(str(tmp_path), "latest", "best")
+    assert n == 1
+    assert not os.path.exists(os.path.join(tmp_path, "best_state.msgpack")), (
+        "stale best_state from run 1 must be removed"
+    )
+    loaded = ckpt.load_net(str(tmp_path), "best", "G", like=tree2)[0]
+    np.testing.assert_array_equal(loaded["w"], tree2["w"])
+    # sibling tag untouched
+    best_a = ckpt.load_net(str(tmp_path), "best_A", "G", like=tree)[0]
+    np.testing.assert_array_equal(best_a["w"], tree["w"] * 2)

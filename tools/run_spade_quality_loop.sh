@@ -57,7 +57,10 @@ mkdir -p "$WORK"
 [ -d "$DATA/gtFine/train" ] || $PY tools/make_synth_cityscapes.py \
   --out "$DATA" --n "$NTRAIN" --n_val "$NVAL" \
   --height $((WIDTH / 2)) --width "$WIDTH" --classes "$CLASSES"
-[ -f "$JUDGE" ] || $PY tools/make_fixtures.py judges --out "$WORK/judges"
+# both judges must exist: a workdir from an older script revision may have
+# the inception judge but not the VGG weights, and a missing --vgg_path
+# silently disables the lambda_vgg=10 loss this loop mandates
+[ -f "$JUDGE" ] && [ -f "$VGG" ] || $PY tools/make_fixtures.py judges --out "$WORK/judges"
 
 [ -f "$WORK/real_stat.npz" ] || $PY get_real_stat.py \
   --dataroot "$DATA/leftImg8bit/val" --dataset_mode single --phase val \
