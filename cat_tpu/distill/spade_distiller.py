@@ -66,6 +66,10 @@ class SPADEDistillHParams:
     # rematerialise the student forward (jax.checkpoint): activation memory
     # for FLOPs — needed to reach the reference's 512x256 GauGAN crops
     remat: bool = False
+    # exponential moving average of the student-G weights
+    # (--moving_average_decay; the reference declares the flag but never
+    # reads it — see inception_distiller.DistillHParams.ema_decay).  0 = off.
+    ema_decay: float = 0.0
 
 
 class _Adaptor(nn.Module):
@@ -162,11 +166,17 @@ class SPADEDistiller:
             g_group = {"G": sv["params"], "A": a_params}
             g_stats = {k: v for k, v in sv.items() if k != "params"}
             d_stats = {k: v for k, v in dv.items() if k != "params"}
+            extra = None
+            if self.hp.ema_decay > 0:
+                # real copies — the train step donates its input buffers,
+                # so the EMA tree must not alias the raw params
+                extra = {"ema_G": jax.tree.map(jnp.copy, sv["params"])}
             return GANTrainState(
                 step=jnp.zeros((), jnp.int32),
                 g=NetState(g_group, self.tx.init(g_group), g_stats),
                 d=NetState(dv["params"], self.tx.init(dv["params"]), d_stats),
                 rng=ks,
+                extra=extra,
             )
 
         state = to_device(init_on_cpu(build, rng, student_variables))
@@ -242,7 +252,7 @@ class SPADEDistiller:
 
         sem, real_B = down(self._semantics(batch)), batch["image"]
         lr_g, lr_d = lr * self.lr_mults[0], lr * self.lr_mults[1]
-        rng, _ = jax.random.split(state.rng)
+        rng, r_gp = jax.random.split(state.rng)
         taps = hp.mapping_layers
 
         t_stats = {k: v for k, v in teacher_variables.items() if k != "params"}
@@ -305,7 +315,25 @@ class SPADEDistiller:
             )
             lf = gan_loss(up(pf), False, hp.gan_mode, True)
             lrr = gan_loss(up(pr), True, hp.gan_mode, True)
-            return lf + lrr, (lf, lrr, d_stats)
+            loss = lf + lrr
+            if hp.gan_mode == "wgangp":
+                # reference cal_gradient_penalty has zero call sites; here
+                # the Lipschitz penalty actually constrains the critic
+                from cat_tpu.models.losses import gradient_penalty
+
+                def d_apply(x):
+                    out, _ = self._apply_d(down(d_params), state.d.stats, x,
+                                           train=True)
+                    return up(out)
+
+                l_gp, _ = gradient_penalty(
+                    d_apply,
+                    jnp.concatenate([sem, down(real_B)], axis=-1),
+                    jnp.concatenate([sem, fake], axis=-1),
+                    rng=r_gp,
+                )
+                loss = loss + l_gp
+            return loss, (lf, lrr, d_stats)
 
         (_, (l_d_fake, l_d_real, d_stats)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
@@ -314,11 +342,22 @@ class SPADEDistiller:
             self.tx, state.d.params, d_grads, state.d.opt_state, lr_d
         )
 
+        extra = state.extra
+        if hp.ema_decay > 0 and extra is not None:
+            d_ema = hp.ema_decay
+            extra = {
+                "ema_G": jax.tree.map(
+                    lambda e, p: e * d_ema + p * (1.0 - d_ema),
+                    extra["ema_G"], g_params["G"],
+                )
+            }
+
         new_state = GANTrainState(
             step=state.step + 1,
             g=NetState(g_params, g_opt, g_stats),
             d=NetState(d_params, d_opt, d_stats),
             rng=rng,
+            extra=extra,
         )
         metrics = {
             "G_loss/gan": l_gan,
@@ -335,8 +374,15 @@ class SPADEDistiller:
         return self._train_step(state, teacher_variables, batch,
                                 jnp.asarray(lr, jnp.float32))
 
+    def student_eval_params(self, state: GANTrainState):
+        """EMA weights when --moving_average_decay is on, else the raw
+        trained weights — what evaluation and deployment should use."""
+        if isinstance(state.extra, dict) and "ema_G" in state.extra:
+            return state.extra["ema_G"]
+        return state.g.params["G"]
+
     def generate_student(self, state: GANTrainState, sem: jnp.ndarray):
-        return self._gen_student(state.g.params["G"], state.g.stats, sem)
+        return self._gen_student(self.student_eval_params(state), state.g.stats, sem)
 
     def generate_student_raw(self, state: GANTrainState, batch: Dict):
         """Raw label/instance batch -> image (preprocessing inside jit)."""
@@ -348,7 +394,8 @@ class SPADEDistiller:
 
             self._gen_raw = jax.jit(fn)
         device_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
-        return self._gen_raw(state.g.params["G"], state.g.stats, device_batch)
+        return self._gen_raw(self.student_eval_params(state), state.g.stats,
+                             device_batch)
 
     def generate_teacher_raw(self, teacher_variables: Dict, batch: Dict):
         if not hasattr(self, "_gen_t_raw"):

@@ -548,6 +548,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         init_type=opt.init_type,
         init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),
+        ema_decay=_ema_decay(opt),
     )
     # D follows the CLI flags exactly as on the teacher-training path —
     # otherwise --restore_D_path (teacher's D) can't load into the distiller
@@ -625,8 +626,18 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
 
     def save_fn(state, tag):
         state = jax.device_get(state)  # one batched fetch for all files
+        # net_G holds what evaluation/deployment uses (EMA weights when
+        # --moving_average_decay is on), raw weights kept as net_G_raw
+        eval_params = dist.student_eval_params(state)
         ckpt.save_net(save_dir, tag, "G",
-                      {"params": state.g.params["G"], **state.g.stats}, student_cfg)
+                      {"params": eval_params, **state.g.stats}, student_cfg)
+        if eval_params is not state.g.params["G"]:
+            ckpt.save_net(save_dir, tag, "G_raw",
+                          {"params": state.g.params["G"], **state.g.stats},
+                          student_cfg)
+        else:
+            ckpt.remove_stale(save_dir, tag, "net_G_raw.msgpack")
+            ckpt.remove_stale(save_dir, tag, "net_G_raw.json")
         if getattr(opt, "save_full_state", 1):
             ckpt.save_train_state(save_dir, tag, state)
         else:

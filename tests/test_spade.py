@@ -98,6 +98,39 @@ def test_spade_distiller_step(rng):
     assert out.shape == (2, SIZE, SIZE, 3)
 
 
+def test_spade_distiller_ema_and_wgangp(rng):
+    """SPADE distiller parity with the inception path for the EMA flag
+    (real consumption of --moving_average_decay) and the wgangp gradient
+    penalty (reference declares both, consumes neither)."""
+    hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                             mapping_layers=("head_0", "up_1"),
+                             gan_mode="wgangp", ema_decay=0.9)
+    dist = SPADEDistiller(tiny_cfg(8), tiny_cfg(4),
+                          MultiscaleDiscriminatorConfig(input_nc=NC + 3, ndf=4,
+                                                        n_layers=3, num_D=2),
+                          hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, SIZE, SIZE, NC)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), SIZE, SIZE, tv)
+    assert isinstance(state.extra, dict) and "ema_G" in state.extra
+    init_g = jax.tree.map(np.asarray, state.g.params["G"])
+    b = batch(rng)
+    state, metrics = dist.train_step(state, tv, b, 2e-4)
+    assert all(np.isfinite(v) for v in jax.tree.leaves(metrics))
+    # ema == d*init + (1-d)*trained after one step
+    expected = jax.tree.map(
+        lambda i, p: 0.9 * i + 0.1 * np.asarray(p), init_g, state.g.params["G"]
+    )
+    for e, x in zip(jax.tree.leaves(state.extra["ema_G"]),
+                    jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(e), x, rtol=1e-6, atol=1e-7)
+    # evaluation consumes the EMA weights
+    ema_out = dist.generate_student(state, b["semantics"])
+    raw_out = dist._gen_student(state.g.params["G"], state.g.stats,
+                                b["semantics"])
+    assert not np.allclose(np.asarray(ema_out), np.asarray(raw_out))
+
+
 def test_spade_distiller_mse_adaptors(rng):
     hp = SPADEDistillHParams(distill_loss_type="mse", lambda_vgg=0.0,
                              mapping_layers=("head_0", "up_1"))
