@@ -156,6 +156,28 @@ def make_parity_fixtures(reference: str):
           x=x.numpy(), ref=ref.permute(0, 2, 3, 1).numpy(),
           layers=np.asarray(layers), channels=np.asarray(channels))
 
+    # --- DeepLabV2 + MSC (tests/test_deeplabv2.py) -----------------------
+    # same direct-module load as drn: metric/__init__ needs torchvision
+    spec = importlib.util.spec_from_file_location(
+        "ref_deeplabv2", os.path.join(reference, "metric", "deeplabv2.py")
+    )
+    ref_dl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_dl)
+
+    n_blocks = [1, 1, 1, 1]
+    rates = [2, 4]
+    base = ref_dl.DeepLabV2(n_classes=4, n_blocks=n_blocks, atrous_rates=rates)
+    msc = ref_dl.MSC(base)  # default scales (0.5, 0.75)
+    _randomize(msc, torch, 104).eval()
+    # odd spatial size exercises the stem's ceil_mode max pool
+    x = torch.randn(1, 3, 33, 33, generator=torch.Generator().manual_seed(10))
+    with torch.no_grad():
+        ref_base = base(x).permute(0, 2, 3, 1).numpy()
+        ref_msc = msc(x).permute(0, 2, 3, 1).numpy()
+    _save(os.path.join(FIXDIR, "deeplabv2_fixture.npz"), msc.state_dict(),
+          x=x.numpy(), ref_base=ref_base, ref_msc=ref_msc,
+          n_blocks=np.asarray(n_blocks), rates=np.asarray(rates))
+
     write_hashes()
 
 
