@@ -16,6 +16,26 @@ from cat_tpu.metrics.fid import get_fid
 from cat_tpu.utils.image import save_image, tensor2im
 
 
+def write_eval_index(save_dir: str, title: str = "") -> Optional[str]:
+    """index.html gallery over an eval dump directory's category subdirs
+    (input/Sfake/Tfake/fake/real) — the reference's utils/html.py use-case,
+    one table row per sample with the categories side by side."""
+    from cat_tpu.utils.html import HTML
+
+    cats = [c for c in ("input", "Sfake", "Tfake", "fake", "real")
+            if os.path.isdir(os.path.join(save_dir, c))]
+    if not cats:
+        return None
+    page = HTML(save_dir, title or os.path.basename(save_dir), img_prefix="")
+    page.add_header(title or save_dir)
+    for name in sorted(os.listdir(os.path.join(save_dir, cats[0]))):
+        row = [c for c in cats
+               if os.path.exists(os.path.join(save_dir, c, name))]
+        rel = [os.path.join(c, name) for c in row]
+        page.add_images(rel, [f"{c}/{name}" for c in row], rel, width=256)
+    return page.save()
+
+
 class MetricTracker:
     """best + rolling last-3 mean (reference keeps self.fids/self.mIoUs)."""
 
@@ -117,6 +137,8 @@ class FIDEvaluator:
                         save_image(tensor2im(batch["B"][j]),
                                    os.path.join(save_dir, "real", f"{base}.png"))
                     dumped += 1
+        if save_dir and dumped:
+            write_eval_index(save_dir, f"{self.name} eval @ step {step}")
         if self.inception_model is None or self.real_stats is None:
             return {}, {}
         fakes = np.concatenate(fakes, axis=0)

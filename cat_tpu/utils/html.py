@@ -17,10 +17,16 @@ from typing import List, Sequence
 
 
 class HTML:
-    def __init__(self, web_dir: str, title: str, refresh: int = 0):
+    def __init__(self, web_dir: str, title: str, refresh: int = 0,
+                 img_prefix: str = "images"):
+        """``img_prefix`` is the directory (relative to ``web_dir``) that
+        ``add_images`` names resolve against — ``"images"`` for the
+        reference contract, ``""`` for pages indexing an existing layout
+        (e.g. the eval dump's input/Sfake/Tfake subdirs)."""
         self.title = title
         self.web_dir = web_dir
-        self.img_dir = os.path.join(web_dir, "images")
+        self._img_prefix = img_prefix
+        self.img_dir = os.path.join(web_dir, img_prefix) if img_prefix else web_dir
         os.makedirs(self.img_dir, exist_ok=True)
         self._body: List[str] = []
         self._refresh = refresh
@@ -35,8 +41,8 @@ class HTML:
                    links: Sequence[str], width: int = 400) -> None:
         cells = []
         for im, txt, link in zip(ims, txts, links):
-            href = _html.escape(os.path.join("images", link), quote=True)
-            src = _html.escape(os.path.join("images", im), quote=True)
+            href = _html.escape(os.path.join(self._img_prefix, link), quote=True)
+            src = _html.escape(os.path.join(self._img_prefix, im), quote=True)
             cells.append(
                 '<td style="word-wrap: break-word;" halign="center" '
                 'valign="top"><p>'

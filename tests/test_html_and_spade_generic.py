@@ -29,6 +29,25 @@ def test_html_page(tmp_path):
     assert 'src="images/a.png"' in text and 'width:200px' in text
 
 
+def test_write_eval_index(tmp_path):
+    from cat_tpu.train.evaluation import write_eval_index
+
+    d = tmp_path / "eval" / "100"
+    for cat in ("input", "Sfake", "Tfake"):
+        (d / cat).mkdir(parents=True)
+        for name in ("a.png", "b.png"):
+            if cat == "Tfake" and name == "b.png":
+                continue  # ragged row: Tfake missing for b
+            Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(d / cat / name)
+    path = write_eval_index(str(d), "fid eval @ step 100")
+    text = open(path).read()
+    assert "<h3>fid eval @ step 100</h3>" in text
+    assert 'src="input/a.png"' in text and 'src="Tfake/a.png"' in text
+    assert 'src="Sfake/b.png"' in text and 'Tfake/b.png' not in text
+    # empty dir -> no page
+    assert write_eval_index(str(tmp_path / "nothing")) is None
+
+
 def _make_spade_root(tmp_path, n=3, mismatch=False, instances=True):
     root = tmp_path / "data"
     for sub in ("train_labels", "train_images") + (
