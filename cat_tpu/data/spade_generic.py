@@ -25,7 +25,9 @@ import numpy as np
 from PIL import Image
 
 from cat_tpu.data.datasets import make_dataset, natural_sort
-from cat_tpu.data.transforms import TransformParams, TransformSpec, get_params
+from cat_tpu.data.transforms import (
+    TransformParams, TransformSpec, get_params, resize_image,
+)
 
 
 class SPADEDataset:
@@ -36,7 +38,12 @@ class SPADEDataset:
     path lists, optionally checks label-image pairing, applies a shared
     random crop/flip to label (NEAREST, raw ids), instance (NEAREST) and
     image (BICUBIC, [-1,1]), remaps the 255 'dontcare' label to
-    ``input_nc``, and caches decoded items with ``load_in_memory``.
+    ``input_nc``, and caches with ``load_in_memory``.
+
+    The cache holds the DECODED (and deterministically resized) PIL images
+    only — the random crop/flip/normalise tail is redrawn on every access,
+    matching the reference (spade_dataset.py:41-66); caching the
+    transformed item would freeze augmentation after epoch 1.
     """
 
     def __init__(
@@ -76,10 +83,17 @@ class SPADEDataset:
                     f"label-image pair ({lp}, {ip}) do not look paired; "
                     "override paths_match or pass pairing_check=False"
                 )
+        if not no_instance and len(instance_paths) != len(label_paths):
+            raise ValueError(
+                f"no_instance=False but {len(instance_paths)} instance maps "
+                f"were found for {len(label_paths)} labels — provide a "
+                "matching instance set (e.g. <phase>_instances) or pass "
+                "no_instance=True"
+            )
         self.label_paths = label_paths
         self.image_paths = image_paths
         self.instance_paths = instance_paths
-        self.cache: Optional[List[Optional[Dict]]] = (
+        self.cache: Optional[List[Optional[Tuple]]] = (
             [None] * len(label_paths) if load_in_memory else None
         )
 
@@ -104,17 +118,10 @@ class SPADEDataset:
     def __len__(self) -> int:
         return len(self.label_paths)
 
-    def _geo(self, img: Image.Image, params: TransformParams,
-             method) -> Image.Image:
-        """Shared-params geometric pipeline: resize -> crop -> flip."""
+    def _tail(self, img: Image.Image, params: TransformParams) -> Image.Image:
+        """Shared-params random tail: crop -> flip (PIL ops return new
+        objects, so cached images are never mutated)."""
         spec = self.spec
-        if spec.preprocess == "resize_and_crop":
-            img = img.resize((spec.load_size, spec.load_size), method)
-        elif spec.preprocess in ("scale_width", "scale_width_and_crop"):
-            ow, oh = img.size
-            w = spec.load_size
-            h = int(max(spec.load_size * oh / ow, spec.crop_size))
-            img = img.resize((w, h), method)
         if "crop" in spec.preprocess:
             x, y = params.crop_pos
             img = img.crop((x, y, x + spec.crop_size, y + spec.crop_size))
@@ -122,34 +129,47 @@ class SPADEDataset:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return img
 
-    def __getitem__(self, index: int) -> Dict:
-        if self.cache is not None and self.cache[index] is not None:
-            return self.cache[index]
-        lp = self.label_paths[index]
-        ip = self.image_paths[index]
-        label = Image.open(lp)
-        params = get_params(self.spec, label.size, self._rng)
+    def _decode(self, index: int) -> Tuple:
+        """Deterministic decode + resize (cacheable across epochs); the
+        resize logic is transforms.resize_image — label/instance planes
+        NEAREST without colourspace conversion, photos BICUBIC RGB."""
+        label = Image.open(self.label_paths[index])
+        orig_size = label.size  # get_params keys off the ORIGINAL size
+        label = resize_image(label, self.spec, Image.NEAREST, convert=False)
+        image = Image.open(self.image_paths[index]).convert("RGB")
+        image = resize_image(image, self.spec, Image.BICUBIC, convert=False)
+        inst = None
+        if not self.no_instance:
+            inst = resize_image(Image.open(self.instance_paths[index]),
+                                self.spec, Image.NEAREST, convert=False)
+        return orig_size, label, image, inst
 
-        lab = np.asarray(self._geo(label, params, Image.NEAREST),
-                         dtype=np.float32)
+    def __getitem__(self, index: int) -> Dict:
+        if self.cache is not None:
+            entry = self.cache[index]
+            if entry is None:
+                entry = self._decode(index)
+                self.cache[index] = entry
+        else:
+            entry = self._decode(index)
+        orig_size, label, image, inst = entry
+        # redraw the random crop/flip on EVERY access (also for cached
+        # items — reference spade_dataset.py redoes get_params per access)
+        params = get_params(self.spec, orig_size, self._rng)
+
+        lab = np.asarray(self._tail(label, params), dtype=np.float32)
         if self.contain_dontcare_label:
             # reference spade_dataset.py:56-58: 'unknown' is input_nc
             lab = np.where(lab == 255.0, float(self.input_nc), lab)
-
-        image = Image.open(ip).convert("RGB")
-        img = np.asarray(self._geo(image, params, Image.BICUBIC),
+        img = np.asarray(self._tail(image, params),
                          dtype=np.float32) / 127.5 - 1.0
 
-        item: Dict = {"label": lab, "image": img, "path": ip}
-        if not self.no_instance:
-            inst = Image.open(self.instance_paths[index])
-            item["instance"] = np.asarray(
-                self._geo(inst, params, Image.NEAREST), dtype=np.int32
-            )
-        item = self.postprocess(item)
-        if self.cache is not None:
-            self.cache[index] = item
-        return item
+        item: Dict = {"label": lab, "image": img,
+                      "path": self.image_paths[index]}
+        if inst is not None:
+            item["instance"] = np.asarray(self._tail(inst, params),
+                                          dtype=np.int32)
+        return self.postprocess(item)
 
 
 class TemplateDataset(SPADEDataset):

@@ -59,26 +59,30 @@ def _scale_width(img: Image.Image, target_size: int, crop_size: int, method) -> 
     return img.resize((w, h), method)
 
 
-def resize_image(img: Image.Image, spec: TransformSpec) -> Image.Image:
+def resize_image(img: Image.Image, spec: TransformSpec,
+                 method=None, convert: bool = True) -> Image.Image:
     """Deterministic decode-time stage: colourspace + resize.
 
     Depends only on (path, spec), so its result is cacheable across epochs
     (--load_in_memory) — decode+resize is ~7ms/image of host time vs
     ~0.5ms for the random crop/flip/normalise tail, which matters when one
     host core must feed a >400 img/s training step.
+
+    ``method`` overrides ``spec.method`` (label/instance planes resize
+    NEAREST); ``convert=False`` keeps the source mode (raw-id label maps
+    must not become RGB).
     """
-    if spec.grayscale:
-        img = img.convert("L")
-    else:
-        img = img.convert("RGB")
+    m = spec.method if method is None else method
+    if convert:
+        img = img.convert("L" if spec.grayscale else "RGB")
     if spec.preprocess == "resize_and_crop":
-        img = img.resize((spec.load_size, spec.load_size), spec.method)
+        img = img.resize((spec.load_size, spec.load_size), m)
     elif spec.preprocess in ("scale_width", "scale_width_and_crop"):
-        img = _scale_width(img, spec.load_size, spec.crop_size, spec.method)
+        img = _scale_width(img, spec.load_size, spec.crop_size, m)
     elif spec.preprocess == "scale_width_fixed":
         # cityscapes-style fixed aspect: width load_size, height by aspect
         img = img.resize(
-            (spec.load_size, int(spec.load_size / spec.aspect_ratio)), spec.method
+            (spec.load_size, int(spec.load_size / spec.aspect_ratio)), m
         )
     return img
 

@@ -28,7 +28,10 @@ def write_eval_index(save_dir: str, title: str = "") -> Optional[str]:
         return None
     page = HTML(save_dir, title or os.path.basename(save_dir), img_prefix="")
     page.add_header(title or save_dir)
-    for name in sorted(os.listdir(os.path.join(save_dir, cats[0]))):
+    names = sorted(set().union(
+        *(os.listdir(os.path.join(save_dir, c)) for c in cats)
+    ))
+    for name in names:
         row = [c for c in cats
                if os.path.exists(os.path.join(save_dir, c, name))]
         rel = [os.path.join(c, name) for c in row]

@@ -75,11 +75,22 @@ class PlateauLR:
 
 
 def schedule_lr(policy: str, epoch: int, lr: float, *, nepochs: int = 100,
-                nepochs_decay: int = 100, lr_decay_iters: int = 50) -> float:
+                nepochs_decay: int = 100, lr_decay_iters: int = 50,
+                plateau: "PlateauLR" = None) -> float:
     if policy == "linear":
         return linear_lr(epoch, lr, nepochs, nepochs_decay)
     if policy == "step":
         return step_lr(epoch, lr, lr_decay_iters)
     if policy == "cosine":
         return cosine_lr(epoch, lr, nepochs)
+    if policy == "plateau":
+        # stateful: the Trainer owns a PlateauLR and feeds the eval metric
+        # into it per epoch (reference networks.py:88-94 + the per-epoch
+        # scheduler.step(self.metric) at base_model.py:146-150)
+        if plateau is None:
+            raise ValueError(
+                "lr_policy 'plateau' is stateful — pass the PlateauLR "
+                "tracker (the Trainer does this automatically)"
+            )
+        return plateau.lr
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

@@ -20,7 +20,7 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
-from cat_tpu.train.optim import schedule_lr
+from cat_tpu.train.optim import PlateauLR, schedule_lr
 from cat_tpu.utils.logger import Logger
 
 
@@ -73,6 +73,14 @@ class Trainer:
         self.logger = logger or Logger(cfg.log_dir)
         self.device_put_fn = device_put_fn
         self.copy_tag_fn = copy_tag_fn
+        # --lr_policy plateau: stateful ReduceLROnPlateau stepped once per
+        # epoch (reference base_model.py:146-150).  The reference never
+        # feeds scheduler.step() a real value (self.metric stays 0,
+        # base_model.py:48); here the latest eval's primary metric (fid /
+        # mIoU) drives it, falling back to the reference's constant when no
+        # judge is configured.
+        self.plateau = PlateauLR(cfg.lr) if cfg.lr_policy == "plateau" else None
+        self._plateau_metric = 0.0
 
     def _save(self, state, tag: str):
         if self.save_fn is not None:
@@ -109,6 +117,11 @@ class Trainer:
             return {}
         start = time.time()
         metrics, flags = self.evaluate_fn(state, total_iter)
+        primary = [v for k, v in metrics.items()
+                   if k.startswith("metric/")
+                   and not k.endswith(("-mean", "-best"))]
+        if primary:
+            self._plateau_metric = float(primary[0])
         self.logger.print_current_metrics(epoch, total_iter, metrics, time.time() - start)
         self.logger.plot(metrics, total_iter)
         self.logger.print_info(message)
@@ -147,6 +160,7 @@ class Trainer:
                 nepochs=cfg.nepochs,
                 nepochs_decay=cfg.nepochs_decay,
                 lr_decay_iters=cfg.lr_decay_iters,
+                plateau=self.plateau,
             )
             batch_iter = (_device_batch(b) for b in self.dataloader)
             if self.device_put_fn is not None:
@@ -182,6 +196,13 @@ class Trainer:
                     f"Saving the model at the end of epoch {epoch}, iters {total_iter}",
                     extra_tags=(str(epoch),),
                 )
+            if self.plateau is not None:
+                new_lr = self.plateau.update(self._plateau_metric)
+                if new_lr != lr:
+                    self.logger.print_info(
+                        f"plateau: learning rate {lr:.3g} -> {new_lr:.3g} "
+                        f"(metric {self._plateau_metric:.4f})"
+                    )
         return state
 
     def _eval_and_continue(self, state, epoch, total_iter, save: bool = True):

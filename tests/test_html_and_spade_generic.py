@@ -82,8 +82,17 @@ def test_template_dataset_items(tmp_path):
     # 255 'dontcare' remapped to input_nc; nothing above input_nc survives
     assert item["label"].max() <= 5.0
     assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
-    # load_in_memory returns the cached item
-    assert ds[0] is item
+    # load_in_memory caches the DECODED images only: repeated access
+    # redraws the random crop (augmentation must not freeze after epoch 1 —
+    # reference spade_dataset.py:41-66 redoes get_params per access), and
+    # each access returns fresh arrays (no aliasing into the cache)
+    assert ds[0] is not item
+    crops = {tuple(np.asarray(ds[0]["label"]).ravel()) for _ in range(20)}
+    assert len(crops) > 1, "random crop frozen by the in-memory cache"
+    # the decode cache is real: the files can disappear after first access
+    assert ds[1]["image"].shape == (8, 8, 3)  # primes the cache
+    os.remove(os.path.join(root, "train_images", "s1.png"))
+    assert ds[1]["image"].shape == (8, 8, 3)
 
 
 def test_pairing_check_and_flags(tmp_path):

@@ -205,3 +205,41 @@ def test_copy_tag_removes_stale_and_respects_sibling_tags(tmp_path):
     # sibling tag untouched
     best_a = ckpt.load_net(str(tmp_path), "best_A", "G", like=tree)[0]
     np.testing.assert_array_equal(best_a["w"], tree["w"] * 2)
+
+
+def test_trainer_plateau_decays_on_stalled_metric(tmp_path):
+    """--lr_policy plateau: a stalled eval metric decays the step LR by
+    factor 0.2 after patience epochs (reference networks.py:88-94 +
+    per-epoch scheduler.step at base_model.py:146-150 — where the fed
+    metric famously stays 0; here the real eval metric drives it)."""
+    lrs = []
+
+    def step_fn(state, batch, lr):
+        lrs.append(lr)
+        return state + 1, {"loss": jnp.asarray(0.0)}
+
+    # improves once, then stalls forever
+    evals = {"n": 0}
+
+    def evaluate_fn(state, step):
+        evals["n"] += 1
+        fid = 100.0 if evals["n"] == 1 else 99.9  # < 1% improvement = stall
+        return {"metric/fid": fid}, {}
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path), nepochs=12, nepochs_decay=0,
+        print_freq=1000, save_latest_freq=10**9, save_epoch_freq=1,
+        lr=1.0, lr_policy="plateau",
+    )
+    trainer = Trainer(step_fn, FakeLoader(1), cfg, evaluate_fn, None,
+                      Logger(str(tmp_path)))
+    trainer.fit(0)
+    # PlateauLR(patience=5): epoch 1 sets best, epochs 2-7 stall -> decay
+    # applies from epoch 8's step onwards
+    assert lrs[0] == 1.0
+    assert lrs[-1] == 0.2, lrs
+    # schedule_lr without the tracker must refuse, not silently misbehave
+    import pytest
+
+    with pytest.raises(ValueError):
+        schedule_lr("plateau", 0, 1.0)

@@ -35,6 +35,11 @@ def main():
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--n_subsets", type=int, default=100)
     parser.add_argument("--subset_size", type=int, default=100)
+    parser.add_argument("--ret_var", action="store_true",
+                        help="also report the per-subset U-statistic "
+                             "variance estimate of MMD^2 (reference "
+                             "kid_score.py:205-283; never printed by the "
+                             "reference's shipped flows)")
     args = parser.parse_args()
 
     from cat_tpu.metrics.fid import get_activations
@@ -46,8 +51,15 @@ def main():
     fake = load_dir(args.fake, size=(real.shape[2], real.shape[1]))
     act_r = get_activations(real, model, variables, args.batch_size)
     act_f = get_activations(fake, model, variables, args.batch_size)
-    mean, std = kid_score(act_f, act_r, args.n_subsets, args.subset_size)
-    print(f"KID: {mean:.6f} +/- {std:.6f}")
+    if args.ret_var:
+        mean, std, var_ests = kid_score(
+            act_f, act_r, args.n_subsets, args.subset_size, ret_var=True)
+        print(f"KID: {mean:.6f} +/- {std:.6f} "
+              f"(U-stat var estimate: {var_ests.mean():.6g}, "
+              f"+/-sqrt: {np.sqrt(max(var_ests.mean(), 0.0)):.6f})")
+    else:
+        mean, std = kid_score(act_f, act_r, args.n_subsets, args.subset_size)
+        print(f"KID: {mean:.6f} +/- {std:.6f}")
 
 
 if __name__ == "__main__":
