@@ -92,6 +92,21 @@ def base_arguments(parser: argparse.ArgumentParser):
                    help="spatial-parallel devices: shard image HEIGHT over "
                         "a second mesh axis (GSPMD inserts conv halo "
                         "exchanges); total devices = n_devices * n_spatial")
+    # multi-host (DCN): same SPMD program over a mesh spanning every
+    # process's devices; each host feeds its own slice of the global batch
+    # and only process 0 writes logs/checkpoints (SURVEY.md §2.1)
+    p.add_argument("--multihost", type=int, default=0, choices=[0, 1],
+                   help="initialise jax.distributed and span the mesh over "
+                        "all hosts' devices (TPU pods: cluster args "
+                        "auto-detected; elsewhere pass the three flags "
+                        "below). --batch_size stays the GLOBAL batch.")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (non-TPU-pod clusters)")
+    p.add_argument("--num_processes", type=int, default=-1,
+                   help="total process count (non-TPU-pod clusters); "
+                        ">1 implies --multihost 1")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's rank (non-TPU-pod clusters)")
     return p
 
 
@@ -363,8 +378,9 @@ def transform_spec(opt) -> TransformSpec:
     )
 
 
-def print_options(opt, parser: argparse.ArgumentParser):
-    """Dump the full config to the log dir (reference base_options.py:184-205)."""
+def print_options(opt, parser: argparse.ArgumentParser, write: bool = True):
+    """Dump the full config to the log dir (reference base_options.py:184-205).
+    ``write=False`` (non-primary multi-host processes) prints only."""
     lines = ["----------------- Options ---------------"]
     for k, v in sorted(vars(opt).items()):
         default = parser.get_default(k)
@@ -374,7 +390,7 @@ def print_options(opt, parser: argparse.ArgumentParser):
     message = "\n".join(lines)
     print(message)
     log_dir = getattr(opt, "log_dir", None)
-    if log_dir:
+    if log_dir and write:
         os.makedirs(log_dir, exist_ok=True)
         with open(os.path.join(log_dir, "opt.txt"), "a") as f:
             f.write(message + "\n")

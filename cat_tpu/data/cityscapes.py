@@ -105,7 +105,9 @@ def create_cityscapes_dataloader(
     shuffle: bool = True,
     seed: Optional[int] = None,
     drop_last: bool = True,
+    process_shard=None,
     **kwargs,
 ) -> DataLoader:
     ds = CityscapesDataset(dataroot, phase, **kwargs)
-    return DataLoader(ds, batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
+    return DataLoader(ds, batch_size, shuffle=shuffle, seed=seed,
+                      drop_last=drop_last, process_shard=process_shard)

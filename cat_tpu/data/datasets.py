@@ -276,6 +276,7 @@ def create_dataloader(
     load_in_memory: bool = False,
     num_workers: int = 4,
     worker_mode: str = "thread",
+    process_shard=None,
 ) -> DataLoader:
     if dataset_mode == "aligned":
         ds = AlignedDataset(dataroot, phase, spec, direction, max_size, seed,
@@ -289,7 +290,7 @@ def create_dataloader(
         raise NotImplementedError(f"dataset mode [{dataset_mode}] not implemented")
     return DataLoader(ds, batch_size, shuffle=not serial_batches, seed=seed,
                       drop_last=drop_last, num_workers=num_workers,
-                      worker_mode=worker_mode)
+                      worker_mode=worker_mode, process_shard=process_shard)
 
 
 def create_eval_dataloader(

@@ -67,8 +67,47 @@ def _maybe_restore_state(opt, state):
     return state
 
 
+def _init_multihost(opt) -> Tuple[bool, Optional[Tuple[int, int]]]:
+    """Multi-host (DCN) init for the CLI verbs: jax.distributed over all
+    participating processes (SURVEY.md §2.1 — the reference counterpart is
+    the DataParallel wiring its drivers invoke, models/networks.py:157-161;
+    here the SPMD program is unchanged and the mesh simply spans every
+    host's devices).
+
+    Returns ``(primary, process_shard)``: ``primary`` is True on process 0
+    (the only process that writes logs/checkpoints/eval dumps);
+    ``process_shard=(index, count)`` feeds the DataLoader so each host
+    decodes only its slice of the GLOBAL --batch_size.  Idempotent — the
+    mains call it before print_options and the setups call it again.
+    """
+    nproc = getattr(opt, "num_processes", -1) or -1
+    if not (getattr(opt, "multihost", 0) or nproc > 1):
+        return True, None
+    from cat_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=getattr(opt, "coordinator_address", None),
+        num_processes=nproc if nproc > 0 else None,
+        process_id=(opt.process_id
+                    if getattr(opt, "process_id", -1) >= 0 else None),
+    )
+    if jax.process_count() == 1:
+        return True, None
+    return jax.process_index() == 0, multihost.process_shard()
+
+
 def _mesh_or_none(opt):
     sp = getattr(opt, "n_spatial", 1)
+    if jax.process_count() > 1:
+        # multi-host: every process must participate in every collective —
+        # the mesh always spans ALL global devices; spatial sharding of
+        # host-fed batches is single-process-only for now
+        if sp > 1:
+            raise SystemExit("--n_spatial > 1 is not supported together "
+                             "with --multihost")
+        from cat_tpu.parallel import multihost
+
+        return multihost.global_mesh()
     n = opt.n_devices if opt.n_devices > 0 else len(jax.devices()) // max(sp, 1)
     if n * max(sp, 1) <= 1:
         return None
@@ -84,9 +123,20 @@ def _place(state, aux, mesh):
     sharded on the leading axis, XLA emits the collectives (see
     cat_tpu/parallel/mesh.py and tests/test_sharding.py).  The returned fn
     feeds the Trainer's device_prefetch so H2D copies overlap compute.
+
+    Multi-host: replication feeds local devices from each process's own
+    (same-seed/same-checkpoint) copy and the per-batch fn assembles the
+    GLOBAL array from this host's slice (parallel/multihost.py) — no
+    cross-host data movement.
     """
     if mesh is None:
         return state, aux, jax.device_put
+    if jax.process_count() > 1:
+        from cat_tpu.parallel import multihost
+
+        state = multihost.replicate(state, mesh)
+        aux = multihost.replicate(aux, mesh) if aux is not None else None
+        return state, aux, (lambda b: multihost.shard_host_batch(b, mesh))
     from cat_tpu.parallel.mesh import replicate, shard_batch
 
     state = replicate(state, mesh)
@@ -94,7 +144,7 @@ def _place(state, aux, mesh):
     return state, aux, (lambda b: shard_batch(b, mesh))
 
 
-def make_miou_evaluator(opt, generate, eval_loader):
+def make_miou_evaluator(opt, generate, eval_loader, mesh=None):
     """mIoU judge when evaluating cityscapes photos (reference condition:
     'cityscapes' in dataroot and direction BtoA —
     distillers/inception_distiller.py:262-279)."""
@@ -113,7 +163,16 @@ def make_miou_evaluator(opt, generate, eval_loader):
     return MIoUEvaluator(
         generate, eval_loader, model, variables, opt.table_path,
         data_dir=opt.cityscapes_path, batch_size=opt.eval_batch_size,
+        mesh=mesh,
     )
+
+
+def _eval_mesh(mesh):
+    """Mesh for the evaluation sweep (SURVEY §5.8): the training mesh on a
+    single process; None under multi-host, where device_put of host-local
+    eval batches to a global sharding is not possible — each process runs
+    the sweep unsharded and identically instead."""
+    return mesh if mesh is not None and jax.process_count() == 1 else None
 
 
 def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
@@ -130,7 +189,7 @@ def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
 # ---------------------------------------------------------------------------
 
 
-def _make_train_loader(opt, spec):
+def _make_train_loader(opt, spec, process_shard=None):
     """Host DataLoader, or the HBM-resident bank when --on_device_data.
 
     The device path uploads the decoded+resized uint8 image set once and
@@ -142,7 +201,8 @@ def _make_train_loader(opt, spec):
         supported = (opt.dataset_mode == "unaligned"
                      and spec.preprocess == "resize_and_crop"
                      and not spec.grayscale
-                     and not opt.serial_batches)
+                     and not opt.serial_batches
+                     and process_shard is None)
         if not supported:
             print("WARNING: --on_device_data supports unaligned "
                   "resize_and_crop without --serial_batches; using the "
@@ -163,6 +223,7 @@ def _make_train_loader(opt, spec):
         seed=opt.seed, load_in_memory=opt.load_in_memory,
         num_workers=opt.num_threads,
         worker_mode=getattr(opt, "data_backend", "thread"),
+        process_shard=process_shard,
     )
 
 
@@ -170,9 +231,10 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
     if opt.model == "spade":
         return setup_train_spade(opt)
     cli.set_seed(opt.seed)
+    primary, pshard = _init_multihost(opt)
     spec = cli.transform_spec(opt)
-    loader = _make_train_loader(opt, spec)
-    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    loader = _make_train_loader(opt, spec, pshard)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir, mute=not primary)
     gen_cfg = cli.generator_config(opt, opt.ngf)
     judge = cli.make_fid_judge(opt)
     mesh = _mesh_or_none(opt)
@@ -211,9 +273,11 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         if judge and stats:
             evs.append(FIDEvaluator(
                 generate, eval_loader, judge[0], judge[1], stats,
-                opt.log_dir, opt.eval_batch_size,
+                opt.log_dir if primary else None, opt.eval_batch_size,
+                mesh=_eval_mesh(mesh),
             ))
-        miou_ev = make_miou_evaluator(opt, generate, eval_loader)
+        miou_ev = make_miou_evaluator(opt, generate, eval_loader,
+                                      mesh=_eval_mesh(mesh))
         if miou_ev:
             evs.append(miou_ev)
         if evs:
@@ -240,7 +304,8 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger, device_put_fn=shard,
+                          evaluate_fn, save_fn if primary else None, logger,
+                          device_put_fn=shard,
                           copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
         return trainer, state
 
@@ -277,8 +342,10 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
                     functools.partial(
                         lambda x, d: task.generate(task_state_box[0], x, d), d=dname
                     ),
-                    eval_loader, judge[0], judge[1], stats, opt.log_dir,
+                    eval_loader, judge[0], judge[1], stats,
+                    opt.log_dir if primary else None,
                     opt.eval_batch_size, name=f"fid_{'B' if direction == 'A' else 'A'}",
+                    mesh=_eval_mesh(mesh),
                 )
         evaluate_fn = combine_evaluators(**evaluators) if evaluators else None
 
@@ -300,14 +367,16 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
             return state, metrics
 
         trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                          evaluate_fn, save_fn, logger, device_put_fn=shard,
+                          evaluate_fn, save_fn if primary else None, logger,
+                          device_put_fn=shard,
                           copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
         return trainer, state
 
     raise NotImplementedError(f"model [{opt.model}]")
 
 
-def _spade_evaluators(opt, generate, teacher_generate=None):
+def _spade_evaluators(opt, generate, teacher_generate=None, primary=True,
+                      mesh=None):
     """FID (+mIoU) evaluators over the cityscapes val split for SPADE
     training/distillation (reference spade_model.evaluate_model:217-288,
     spade_distiller.py:96-172). Returns a combined evaluate_fn or None."""
@@ -330,9 +399,11 @@ def _spade_evaluators(opt, generate, teacher_generate=None):
     evs = []
     if judge and stats:
         evs.append(FIDEvaluator(
-            generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
+            generate, eval_loader, judge[0], judge[1], stats,
+            opt.log_dir if primary else None,
             opt.eval_batch_size, input_key=None,
             teacher_generate=teacher_generate,
+            mesh=_eval_mesh(mesh),
         ))
     if want_miou:
         from cat_tpu.metrics.drn import load_drnseg
@@ -340,7 +411,8 @@ def _spade_evaluators(opt, generate, teacher_generate=None):
 
         dm, dv = load_drnseg(opt.drn_path)
         miou = MIoUEvaluator(generate, eval_loader, dm, dv, opt.table_path,
-                             batch_size=opt.eval_batch_size)
+                             batch_size=opt.eval_batch_size,
+                             mesh=_eval_mesh(mesh))
         miou.input_key = None
         evs.append(miou)
     return combine_evaluators(**{"": evs})
@@ -353,7 +425,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     from cat_tpu.train.spade_model import SPADEHParams, SPADETask
 
     cli.set_seed(opt.seed)
-    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    primary, pshard = _init_multihost(opt)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir, mute=not primary)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
     gen_cfg = cli.spade_generator_config(opt, opt.ngf, opt.norm_G)
     d_cfg = MultiscaleDiscriminatorConfig(
@@ -395,14 +468,15 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         load_size=opt.load_size, crop_size=opt.crop_size,
         aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
         pairing_check=not opt.no_pairing_check, max_size=opt.max_dataset_size,
-        seed=opt.seed,
+        seed=opt.seed, process_shard=pshard,
     )
     task_state_box = [state]
 
     # FID + mIoU + best tracking during teacher training (reference
     # spade_model.evaluate_model:217-288 — was a round-1 gap)
     evaluate_fn = _spade_evaluators(
-        opt, lambda b: task.generate_raw(task_state_box[0], b)
+        opt, lambda b: task.generate_raw(task_state_box[0], b),
+        primary=primary, mesh=mesh,
     )
 
     def save_fn(state, tag):
@@ -422,7 +496,8 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=shard,
+                      save_fn if primary else None, logger,
+                      device_put_fn=shard,
                       copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
@@ -507,7 +582,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     from cat_tpu.distill.spade_distiller import SPADEDistillHParams, SPADEDistiller
 
     cli.set_seed(opt.seed)
-    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    primary, pshard = _init_multihost(opt)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir, mute=not primary)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
 
     teacher_cfg, teacher_vars = load_spade_checkpoint(opt.restore_teacher_G_path, opt)
@@ -601,8 +677,9 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     # (train_inception_student_5p6B.sh --gpu_ids 0,1) — data(-x-spatial)
     # GSPMD mesh; sync-BN statistics go global under jit automatically
     state, teacher_vars, shard = _place(state, teacher_vars, mesh)
-    with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
-        f.write(config_to_json(student_cfg))
+    if primary:
+        with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
+            f.write(config_to_json(student_cfg))
     if opt.prune_only:
         logger.print_info("prune_only: student architecture emitted; exiting.")
         return None, state
@@ -612,7 +689,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         load_size=opt.load_size, crop_size=opt.crop_size,
         aspect_ratio=opt.aspect_ratio, no_instance=opt.no_instance,
         pairing_check=not opt.no_pairing_check, max_size=opt.max_dataset_size,
-        load_in_memory=False, seed=opt.seed,
+        load_in_memory=False, seed=opt.seed, process_shard=pshard,
     )
 
     task_state_box = [state]
@@ -622,6 +699,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         opt,
         lambda b: dist.generate_student_raw(task_state_box[0], b),
         teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
+        primary=primary, mesh=mesh,
     )
 
     def save_fn(state, tag):
@@ -649,7 +727,8 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt), evaluate_fn,
-                      save_fn, logger, device_put_fn=shard,
+                      save_fn if primary else None, logger,
+                      device_put_fn=shard,
                       copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
@@ -658,9 +737,10 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
     from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
 
     cli.set_seed(opt.seed)
+    primary, pshard = _init_multihost(opt)
     spec = cli.transform_spec(opt)
-    loader = _make_train_loader(opt, spec)
-    logger = Logger(opt.log_dir, opt.tensorboard_dir)
+    loader = _make_train_loader(opt, spec, pshard)
+    logger = Logger(opt.log_dir, opt.tensorboard_dir, mute=not primary)
     save_dir = os.path.join(opt.log_dir, "checkpoints")
 
     teacher_norm = cli.norm_config(opt, opt.norm_affine)
@@ -758,8 +838,9 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
     state = _maybe_restore_state(opt, state)
     mesh = _mesh_or_none(opt)
     state, teacher_vars, shard = _place(state, teacher_vars, mesh)
-    with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
-        f.write(config_to_json(student_cfg))
+    if primary:
+        with open(os.path.join(opt.log_dir, "student_config.json"), "w") as f:
+            f.write(config_to_json(student_cfg))
     if opt.prune_only:
         logger.print_info("prune_only: student architecture emitted; exiting.")
         return None, state
@@ -775,11 +856,14 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
     generate = lambda x: dist.generate_student(task_state_box[0], x)  # noqa: E731
     if judge and stats:
         evs.append(FIDEvaluator(
-            generate, eval_loader, judge[0], judge[1], stats, opt.log_dir,
+            generate, eval_loader, judge[0], judge[1], stats,
+            opt.log_dir if primary else None,
             opt.eval_batch_size,
             teacher_generate=lambda x: dist.generate_teacher(teacher_vars, x),
+            mesh=_eval_mesh(mesh),
         ))
-    miou_ev = make_miou_evaluator(opt, generate, eval_loader)
+    miou_ev = make_miou_evaluator(opt, generate, eval_loader,
+                                  mesh=_eval_mesh(mesh))
     if miou_ev:
         evs.append(miou_ev)
     if evs:
@@ -814,7 +898,8 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         return state, metrics
 
     trainer = Trainer(step_fn, loader, cli.trainer_config(opt),
-                      evaluate_fn, save_fn, logger, device_put_fn=shard,
+                      evaluate_fn, save_fn if primary else None, logger,
+                      device_put_fn=shard,
                       copy_tag_fn=lambda s, d: ckpt.copy_tag(save_dir, s, d))
     return trainer, state
 
@@ -1245,7 +1330,8 @@ def train_main(argv=None):
                          init_type="xavier", active_fn="nn.LeakyReLU").items():
             if getattr(opt, k) == parser.get_default(k):
                 setattr(opt, k, v)
-    cli.print_options(opt, parser)
+    primary, _ = _init_multihost(opt)  # before any opt.txt write
+    cli.print_options(opt, parser, write=primary)
     trainer, state = setup_train(opt)
     trainer.fit(state)
 
@@ -1270,7 +1356,8 @@ def distill_main(argv=None):
                          init_type="xavier").items():
             if getattr(opt, k) == parser.get_default(k):
                 setattr(opt, k, v)
-    cli.print_options(opt, parser)
+    primary, _ = _init_multihost(opt)  # before any opt.txt write
+    cli.print_options(opt, parser, write=primary)
     trainer, state = setup_distill(opt)
     if trainer is not None:
         trainer.fit(state)

@@ -43,6 +43,8 @@ def initialize(
     initialized or when running single-process (num_processes == 1)."""
     if num_processes == 1:
         return
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -53,6 +55,15 @@ def initialize(
     except RuntimeError as e:  # already initialized
         if "already" not in str(e).lower():
             raise
+    if jax.process_count() > 1:
+        # startup barrier: a tiny all-device collective establishes the
+        # cross-host communicator contexts NOW, while every process is at
+        # the same point — context init inside the first (minutes-long)
+        # train-step compile can exceed the transport's 30s key-exchange
+        # timeout when hosts finish compiling at different times
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("cat_tpu:multihost_init")
 
 
 def global_mesh(axis: str = DATA_AXIS) -> Mesh:

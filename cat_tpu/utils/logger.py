@@ -15,12 +15,19 @@ from typing import Dict, Optional
 
 
 class Logger:
-    def __init__(self, log_dir: str, tensorboard_dir: Optional[str] = None):
+    def __init__(self, log_dir: str, tensorboard_dir: Optional[str] = None,
+                 mute: bool = False):
+        """``mute=True`` (non-primary multi-host processes) still prints to
+        the process's own stdout but writes no files — log.txt /
+        scalars.jsonl / TensorBoard are owned by process 0 alone."""
         self.log_dir = log_dir
+        self.mute = mute
+        self.log_file = self.scalar_file = self.writer = None
+        if mute:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.log_file = open(os.path.join(log_dir, "log.txt"), "a")
         self.scalar_file = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self.writer = None
         try:  # optional
             from tensorboardX import SummaryWriter  # type: ignore
 
@@ -29,6 +36,8 @@ class Logger:
             pass
 
     def plot(self, scalars: Dict[str, float], step: int) -> None:
+        if self.mute:
+            return
         record = {"step": int(step), "time": time.time()}
         record.update({k: float(v) for k, v in scalars.items()})
         self.scalar_file.write(json.dumps(record) + "\n")
@@ -39,6 +48,8 @@ class Logger:
 
     def print_info(self, message: str) -> None:
         print(message, flush=True)
+        if self.mute:
+            return
         self.log_file.write(message.rstrip("\n") + "\n")
         self.log_file.flush()
 
@@ -57,7 +68,9 @@ class Logger:
         self.print_info(msg)
 
     def close(self):
-        self.log_file.close()
-        self.scalar_file.close()
+        if self.log_file is not None:
+            self.log_file.close()
+        if self.scalar_file is not None:
+            self.scalar_file.close()
         if self.writer is not None:
             self.writer.close()

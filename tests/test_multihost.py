@@ -81,3 +81,66 @@ def test_two_process_cluster(tmp_path):
         for out in outs
     ]
     assert steps[0] == steps[1], steps  # identical loss on every host
+
+
+TRAIN_WORKER = os.path.join(os.path.dirname(__file__), "multihost_train_worker.py")
+
+
+def test_train_py_two_process(tmp_path):
+    """The ACTUAL train.py verb over a 2-process cluster: --multihost wires
+    jax.distributed init, the global mesh, per-host data slices of the
+    GLOBAL --batch_size, and process-0-only log/checkpoint writes — the
+    driver-level multi-host contract (SURVEY §2.1; reference analogue is
+    the DataParallel wiring its drivers invoke, models/networks.py:157-161).
+    """
+    rng = np.random.RandomState(0)
+    root = tmp_path / "db"
+    for sub, n in (("train", 8), ("val", 2)):
+        os.makedirs(root / sub)
+        for i in range(n):
+            arr = rng.randint(0, 255, size=(16, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / sub / f"{i}.png")
+    log_dir = tmp_path / "logs"
+
+    coordinator = f"localhost:{free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, TRAIN_WORKER, coordinator, "2", str(pid),
+             str(root), str(log_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"TRAIN_DONE pid={pid}" in out
+
+    # ONE coherent checkpoint set, written by process 0 alone
+    ckpt_path = log_dir / "checkpoints" / "1_net_G.msgpack"
+    assert ckpt_path.exists(), os.listdir(log_dir / "checkpoints")
+    from cat_tpu.core.config import config_from_json
+    from cat_tpu.utils.checkpoint import load_pytree
+
+    variables = load_pytree(str(ckpt_path))
+    leaves = [np.asarray(x) for x in __import__("jax").tree.leaves(variables)]
+    assert leaves and all(np.isfinite(v).all() for v in leaves)
+    with open(str(ckpt_path).replace(".msgpack", ".json")) as f:
+        cfg = config_from_json(f.read())
+    assert cfg.ds_channels[0] == 4 and len(cfg.blocks) == 1  # ngf 4, 1 block
+
+    # log.txt / opt.txt written exactly once (no second-process interleave)
+    opt_txt = (log_dir / "opt.txt").read_text()
+    assert opt_txt.count("----------------- End") == 1, opt_txt
+    assert (log_dir / "log.txt").exists()
