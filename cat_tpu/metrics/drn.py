@@ -266,13 +266,15 @@ def get_miou(
     batch_size: int = 2,
     target_hw: Tuple[int, int] = (1024, 2048),
     num_classes: int = 19,
+    mesh=None,
 ) -> float:
     """mIoU of generated street photos against trainId GT maps.
 
     fakes: [-1,1] NHWC generated images; labels: uint8 trainId maps at
     (1024, 2048).  Images are normalised with the cityscapes statistics,
     segmented, logits bilinearly resized to the label resolution, argmaxed,
-    histogrammed.
+    histogrammed.  ``mesh`` shards the DRN judge forward over the data axis
+    (fast_hist stays host-side — SURVEY §5.8).
     """
     from cat_tpu.metrics.miou import (
         CITYSCAPES_MEAN,
@@ -303,7 +305,13 @@ def get_miou(
     for i in range(0, n, batch_size):
         chunk = np.asarray(fakes_m11[i : i + batch_size])
         x01 = (chunk + 1.0) / 2.0
-        pred = np.asarray(run(jnp.asarray(x01, jnp.float32)))
+        if mesh is not None:
+            from cat_tpu.parallel.mesh import shard_eval_array
+
+            x, real = shard_eval_array(np.asarray(x01, np.float32), mesh)
+            pred = np.asarray(run(x))[:real]
+        else:
+            pred = np.asarray(run(jnp.asarray(x01, jnp.float32)))
         for j in range(pred.shape[0]):
             hist += fast_hist(pred[j].ravel(), np.asarray(labels[i + j]).ravel(),
                               num_classes)

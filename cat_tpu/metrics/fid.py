@@ -45,13 +45,29 @@ def get_activations(
     model: InceptionV3FID,
     variables: Dict,
     batch_size: int = 32,
+    mesh=None,
 ) -> np.ndarray:
-    """Inception features for a uint8 NHWC image stack (values 0..255)."""
+    """Inception features for a uint8 NHWC image stack (values 0..255).
+
+    ``mesh``: shard each judge batch over the data axis — the forward
+    compiles once as an SPMD program over the mesh (the judge's weights are
+    replicated by GSPMD), so an 8-chip eval runs the InceptionV3 sweep 8x
+    wide while the Fréchet reduction stays host-side (SURVEY §5.8).
+    """
     run = make_activation_fn(model, variables)
     n = images_u8.shape[0]
     outs = []
     for i in range(0, n, batch_size):
         chunk = images_u8[i : i + batch_size]
+        if mesh is not None:
+            from cat_tpu.parallel.mesh import shard_eval_array
+
+            x01, real = shard_eval_array(
+                np.asarray(chunk, np.float32) / 255.0, mesh,
+                pad_to=batch_size if n > batch_size else 0,
+            )
+            outs.append(np.asarray(run(x01))[:real])
+            continue
         pad = 0
         if chunk.shape[0] < batch_size and n > batch_size:
             # keep a single compiled shape
@@ -109,11 +125,12 @@ def get_fid(
     variables: Dict,
     real_stats: Dict[str, np.ndarray],
     batch_size: int = 32,
+    mesh=None,
 ) -> float:
     """FID of generated images ([-1,1] float NHWC) vs cached real statistics
     ({'mu','sigma'} npz, produced by get_real_stat)."""
     ims = tensor2im_batch(fakes)
-    act = get_activations(ims, model, variables, batch_size)
+    act = get_activations(ims, model, variables, batch_size, mesh=mesh)
     mu, sigma = compute_statistics(act)
     return calculate_frechet_distance(
         mu, sigma, real_stats["mu"], real_stats["sigma"]

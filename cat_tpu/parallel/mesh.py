@@ -82,3 +82,23 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_eval_array(x, mesh: Mesh, pad_to: int = 0, axis: str = DATA_AXIS):
+    """Batch-shard an eval forward's input over the data axis.
+
+    Eval sweeps have arbitrary tail sizes (drop_last=False), so the leading
+    dim is padded — by edge-repeat — to ``pad_to`` (or to the next multiple
+    of the data-axis size).  Returns ``(sharded_array, real_n)``; callers
+    slice the forward's output back to ``real_n``.  SURVEY §5.8: judges run
+    sharded, the Fréchet/fast_hist reduction stays host-side.
+    """
+    x = np.asarray(x)
+    n_data = mesh.shape[axis]
+    b = x.shape[0]
+    target = max(pad_to, -(-b // n_data) * n_data)
+    if target % n_data:
+        target = -(-target // n_data) * n_data
+    if target > b:
+        x = np.concatenate([x, np.repeat(x[-1:], target - b, axis=0)], axis=0)
+    return jax.device_put(x, NamedSharding(mesh, P(axis))), b

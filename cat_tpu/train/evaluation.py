@@ -39,6 +39,28 @@ def write_eval_index(save_dir: str, title: str = "") -> Optional[str]:
     return page.save()
 
 
+def shard_eval_input(inp, mesh):
+    """Pad + batch-shard an evaluator's generate input over the data mesh.
+
+    Accepts a bare NHWC array or a batch dict (arrays are sharded, path
+    lists pass through untouched).  Returns ``(sharded_inp, real_n)``; the
+    caller slices the generated output back to ``real_n``.
+    """
+    from cat_tpu.parallel.mesh import shard_eval_array
+
+    if isinstance(inp, dict):
+        n = None
+        out = {}
+        for k, v in inp.items():
+            if isinstance(v, np.ndarray):
+                out[k], n = shard_eval_array(v, mesh)
+            else:
+                out[k] = v
+        return out, n
+    arr, n = shard_eval_array(np.asarray(inp), mesh)
+    return arr, n
+
+
 class MetricTracker:
     """best + rolling last-3 mean (reference keeps self.fids/self.mIoUs)."""
 
@@ -84,10 +106,20 @@ class FIDEvaluator:
         dump_images: int = 10,
         teacher_generate: Optional[Callable] = None,
         input_key: str = "A",
+        mesh=None,
     ):
         """``input_key``: batch key fed to ``generate``; None passes the whole
-        batch dict (SPADE label+instance inputs)."""
+        batch dict (SPADE label+instance inputs).
+
+        ``mesh``: shard the eval sweep over the data mesh (SURVEY §5.8) —
+        generator inputs are padded to the data-axis size and batch-sharded
+        (GSPMD partitions the forward; the params are already replicated on
+        the mesh), and the InceptionV3 judge runs sharded the same way.
+        The Fréchet reduction stays host-side.  Single-process meshes only
+        (multi-host processes each run the sweep unsharded/identically).
+        """
         self.input_key = input_key
+        self.mesh = mesh
         self.generate = generate
         self.eval_loader = eval_loader
         self.inception_model = inception_model
@@ -108,11 +140,17 @@ class FIDEvaluator:
         )
         for batch in self.eval_loader:
             inp = batch[self.input_key] if self.input_key else batch
-            fake = np.asarray(self.generate(inp))
+            if self.mesh is not None:
+                sharded, real_n = shard_eval_input(inp, self.mesh)
+                fake = np.asarray(self.generate(sharded))[:real_n]
+            else:
+                sharded, real_n = inp, None
+                fake = np.asarray(self.generate(inp))
             fakes.append(fake)
             if save_dir and dumped < self.dump_images:
                 tfake = (
-                    np.asarray(self.teacher_generate(inp))
+                    np.asarray(self.teacher_generate(sharded))[
+                        : real_n if real_n is not None else None]
                     if self.teacher_generate
                     else None
                 )
@@ -151,6 +189,7 @@ class FIDEvaluator:
             self.inception_variables,
             self.real_stats,
             batch_size=self.eval_batch_size,
+            mesh=self.mesh,
         )
         improved = self.tracker.update(fid)
         metrics = {
@@ -179,7 +218,9 @@ class MIoUEvaluator:
         data_dir: str = "",
         batch_size: int = 2,
         name: str = "mIoU",
+        mesh=None,
     ):
+        self.mesh = mesh
         self.generate = generate
         self.eval_loader = eval_loader
         self.drn_model = drn_model
@@ -210,7 +251,11 @@ class MIoUEvaluator:
         fakes, labels = [], []
         for batch in self.eval_loader:
             inp = batch[self.input_key] if self.input_key else batch
-            fake = np.asarray(self.generate(inp))
+            if self.mesh is not None:
+                sharded, real_n = shard_eval_input(inp, self.mesh)
+                fake = np.asarray(self.generate(sharded))[:real_n]
+            else:
+                fake = np.asarray(self.generate(inp))
             paths = batch.get("A_paths") or batch.get("path") or []
             for j in range(fake.shape[0]):
                 name = os.path.splitext(os.path.basename(paths[j]))[0]
@@ -225,6 +270,7 @@ class MIoUEvaluator:
             np.stack(fakes), labels, self.drn_model, self.drn_variables,
             batch_size=self.batch_size,
             target_hw=labels[0].shape[:2],
+            mesh=self.mesh,
         )
         improved = self.tracker.update(miou)
         metrics = {

@@ -118,3 +118,53 @@ def test_spatial_sharding(rng):
             np.asarray(metrics_ref[k]), np.asarray(metrics_sh[k]),
             rtol=2e-4, atol=1e-5, err_msg=k,
         )
+
+
+class _LinearJudge:
+    """InceptionV3FID stand-in: apply(variables, x01) -> [features]."""
+
+    def apply(self, variables, x01):
+        flat = jnp.reshape(x01, (x01.shape[0], -1)).astype(jnp.float32)
+        return [flat @ variables["w"]]
+
+
+def test_sharded_eval_fid_identical(rng):
+    """The evaluation sweep over the data mesh (SURVEY §5.8) must produce
+    EXACTLY the same FID as the single-device sweep: generator inputs are
+    padded+batch-sharded, the judge runs sharded, and the Fréchet reduction
+    stays host-side.  Ragged tail batches exercise the padding path."""
+    from cat_tpu.train.evaluation import FIDEvaluator, shard_eval_input
+
+    d = 6
+    judge = _LinearJudge()
+    jvars = {"w": jnp.asarray(rng.randn(SIZE * SIZE * 3, d), jnp.float32)}
+    a = rng.randn(d, d)
+    stats = {"mu": rng.randn(d), "sigma": a @ a.T + np.eye(d)}
+
+    # deterministic "generator"; jit partitions it over the mesh whenever
+    # its input arrives committed to the mesh's data sharding
+    generate = jax.jit(lambda x: jnp.tanh(-jnp.asarray(x, jnp.float32)))
+
+    def loader():
+        r = np.random.RandomState(0)
+        # ragged tail (11 = 4 + 4 + 3) exercises pad_to on an 8-way mesh
+        return [{"A": r.randn(n, SIZE, SIZE, 3).astype(np.float32)}
+                for n in (4, 4, 3)]
+
+    ev1 = FIDEvaluator(generate, loader(), judge, jvars, stats,
+                       log_dir=None, eval_batch_size=4)
+    fid1 = ev1(0)[0]["metric/fid"]
+
+    mesh = make_mesh()
+    ev8 = FIDEvaluator(generate, loader(), judge, jvars, stats,
+                       log_dir=None, eval_batch_size=4, mesh=mesh)
+    fid8 = ev8(0)[0]["metric/fid"]
+    assert np.isfinite(fid1)
+    np.testing.assert_allclose(fid8, fid1, rtol=1e-5)
+
+    # dict inputs (SPADE label/instance batches): arrays shard, paths pass
+    batch = {"label": np.zeros((3, 8, 8), np.float32), "path": ["a", "b", "c"]}
+    sharded, n = shard_eval_input(batch, mesh)
+    assert n == 3
+    assert sharded["label"].shape[0] == 8  # padded to the mesh size
+    assert sharded["path"] == ["a", "b", "c"]
