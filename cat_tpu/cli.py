@@ -157,6 +157,13 @@ def train_arguments(parser: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="train/distill-step compute dtype (f32 master "
                         "weights; bfloat16 runs convs single-pass on the MXU)")
+    p.add_argument("--vgg_compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype of the VGG19 perceptual sweep (SPADE family). "
+                        "bfloat16 is a large throughput win at 512x256 (the "
+                        "VGG convs are the biggest single term of the step) "
+                        "at a measured small gradient-direction cost "
+                        "(tests/test_vgg.py) — explicit opt-in")
     p.add_argument("--gan_mode", type=str, default="hinge",
                    choices=["vanilla", "lsgan", "wgangp", "hinge"])
     p.add_argument("--pool_size", type=int, default=50)

@@ -55,9 +55,13 @@ class SPADEDistillHParams:
     init_gain: float = 0.02
     mapping_layers: Tuple[str, ...] = DEFAULT_SPADE_MAPPING_LAYERS
     # 'float32' | 'bfloat16' — bf16 generator/discriminator compute with f32
-    # master weights, norm statistics and losses (VGG stays f32: it is a
-    # perceptual judge and its scale dominates loss fidelity, not step time)
+    # master weights, norm statistics and losses
     compute_dtype: str = "float32"
+    # dtype of the VGG19 perceptual sweep: at 512x256 the three VGG conv
+    # passes are the largest single term of the step (measured on v5e:
+    # tools/spade_perf.py), and f32 convs run at 1/4 the MXU's bf16 rate.
+    # Slice L1 reductions stay f32 (models/vgg.py)
+    vgg_compute_dtype: str = "float32"
     # evaluate SPADE blocks with branch-packed convolutions (identical math
     # and parameter tree; models/spade.py SPADEBlock docstring).  Measured
     # on-chip at gaugan-teacher scale: fwd +4.5%, fwd+bwd -3% — default
@@ -284,7 +288,8 @@ class SPADEDistiller:
             l_gan = gan_loss(pf, True, hp.gan_mode, False) * hp.lambda_gan
             l_feat = feature_matching_loss(pf, pr) * hp.lambda_feat
             if self.vgg_variables is not None and hp.lambda_vgg > 0:
-                l_vgg = vgg_loss(self.vgg_variables, fake, real_B) * hp.lambda_vgg
+                l_vgg = vgg_loss(self.vgg_variables, fake, real_B,
+                                 hp.vgg_compute_dtype) * hp.lambda_vgg
             else:
                 l_vgg = jnp.zeros(())
             if hp.lambda_distill > 0:

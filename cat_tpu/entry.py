@@ -440,6 +440,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
+        vgg_compute_dtype=opt.vgg_compute_dtype,
         packed_blocks=_packed(opt, False),
         init_type=opt.init_type, init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),
@@ -620,6 +621,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         beta1=opt.beta1 if opt.no_TTUR else 0.0,
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
+        vgg_compute_dtype=opt.vgg_compute_dtype,
         packed_blocks=_packed(opt, False),
         init_type=opt.init_type,
         init_gain=opt.init_gain,

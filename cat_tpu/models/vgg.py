@@ -80,14 +80,30 @@ def load_vgg19(path: str) -> Tuple[VGG19Features, Dict]:
 
 
 def vgg_loss(
-    variables: Dict, x: jnp.ndarray, y: jnp.ndarray
+    variables: Dict, x: jnp.ndarray, y: jnp.ndarray, compute_dtype=None
 ) -> jnp.ndarray:
     """Weighted L1 over the five slices; y is treated as constant
-    (reference detaches the target, loss.py:196-202)."""
+    (reference detaches the target, loss.py:196-202).
+
+    ``compute_dtype`` (e.g. bfloat16) casts the VGG weights and inputs for
+    the conv sweep — the TPU MXU accumulates bf16 matmuls/convs in f32, and
+    each slice's L1 reduction below is taken in f32 either way, so only the
+    stored activations lose mantissa.  The loss is a perceptual JUDGE (its
+    gradient direction, not its 8th digit, is what trains G) and the conv
+    sweep is the single most expensive term of the SPADE step at 512x256,
+    so bf16 here is a pure throughput knob; float32 remains the default."""
     model = VGG19Features()
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        cdt = jnp.dtype(compute_dtype)
+        variables = jax.tree.map(
+            lambda t: t.astype(cdt) if jnp.issubdtype(t.dtype, jnp.floating) else t,
+            variables,
+        )
+        x, y = x.astype(cdt), y.astype(cdt)
     fx = model.apply(variables, x)
     fy = model.apply(variables, jax.lax.stop_gradient(y))
     total = jnp.zeros(())
     for w, a, b in zip(VGG_LOSS_WEIGHTS, fx, fy):
-        total = total + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        d = jnp.abs(a.astype(jnp.float32) - jax.lax.stop_gradient(b).astype(jnp.float32))
+        total = total + w * jnp.mean(d)
     return total

@@ -112,6 +112,8 @@ class SPADEHParams:
     # weights, norm statistics and losses (same contract as the SPADE
     # distiller's compute_dtype)
     compute_dtype: str = "float32"
+    # dtype of the VGG19 perceptual sweep (see SPADEDistillHParams)
+    vgg_compute_dtype: str = "float32"
     # rematerialise the generator forward (jax.checkpoint): recompute in the
     # backward instead of storing activations — the reference GauGAN trains
     # at 512x256 crops (train_inception_student_5p6B.sh), which needs this
@@ -253,7 +255,8 @@ class SPADETask:
             l_gan = gan_loss(pred_fake, True, hp.gan_mode, False) * hp.lambda_gan
             l_feat = feature_matching_loss(pred_fake, pred_real) * hp.lambda_feat
             if self.vgg_variables is not None and hp.lambda_vgg > 0:
-                l_vgg = vgg_loss(self.vgg_variables, fake, real_B) * hp.lambda_vgg
+                l_vgg = vgg_loss(self.vgg_variables, fake, real_B,
+                                 hp.vgg_compute_dtype) * hp.lambda_vgg
             else:
                 l_vgg = jnp.zeros(())
             total = l_gan + l_feat + l_vgg

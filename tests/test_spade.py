@@ -63,6 +63,7 @@ def test_instance_edges():
     assert e[0, 0, 0, 0] == 0.0
 
 
+@pytest.mark.slow
 def test_spade_task_step(rng):
     task = SPADETask(
         tiny_cfg(),
@@ -80,6 +81,7 @@ def test_spade_task_step(rng):
     assert task.lr_mults == (0.5, 2.0)
 
 
+@pytest.mark.slow
 def test_spade_distiller_step(rng):
     hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
                              mapping_layers=("head_0", "up_1"))
@@ -98,6 +100,7 @@ def test_spade_distiller_step(rng):
     assert out.shape == (2, SIZE, SIZE, 3)
 
 
+@pytest.mark.slow
 def test_spade_distiller_ema_and_wgangp(rng):
     """SPADE distiller parity with the inception path for the EMA flag
     (real consumption of --moving_average_decay) and the wgangp gradient
@@ -131,6 +134,7 @@ def test_spade_distiller_ema_and_wgangp(rng):
     assert not np.allclose(np.asarray(ema_out), np.asarray(raw_out))
 
 
+@pytest.mark.slow
 def test_spade_distiller_mse_adaptors(rng):
     hp = SPADEDistillHParams(distill_loss_type="mse", lambda_vgg=0.0,
                              mapping_layers=("head_0", "up_1"))
@@ -173,6 +177,7 @@ def test_spade_shrink(rng):
     assert y.shape == (2, SIZE, SIZE, 3)
 
 
+@pytest.mark.slow
 def test_spade_distill_cli_prune_only(tmp_path):
     """SPADE distill verb: shrink preamble + student-config emission
     (prune_only path, synthetic teacher)."""
@@ -229,6 +234,7 @@ def test_spade_gamma_collection():
     assert len(b0.sp_res) == len(c0.spade.active_res)
 
 
+@pytest.mark.slow
 def test_spade_distiller_step_bf16(rng):
     """bf16 compute path: finite metrics, close to the f32 step's losses,
     and f32 master params/moments preserved."""
@@ -259,6 +265,7 @@ def test_spade_distiller_step_bf16(rng):
         assert abs(a - c) < 0.15 * (1.0 + abs(a)), (k, a, c)
 
 
+@pytest.mark.slow
 def test_spade_task_step_bf16(rng):
     """compute_dtype='bfloat16' in SPADEHParams (regression: setup_train_spade
     passes it; it must exist and keep f32 master weights)."""
@@ -273,6 +280,7 @@ def test_spade_task_step_bf16(rng):
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.g.params))
 
 
+@pytest.mark.slow
 def test_spade_distiller_step_with_vgg(rng):
     """λ_vgg > 0 (the GauGAN default) computes a real perceptual gradient:
     the whole G loss — including the VGG term — must update the student and
@@ -313,6 +321,7 @@ def test_spade_distiller_step_with_vgg(rng):
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_spade_distiller_remat_parity(rng):
     """--remat must be numerics-preserving for the SPADE distill step."""
     b = batch(rng)

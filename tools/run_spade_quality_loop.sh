@@ -90,10 +90,11 @@ DCKPT="${TCKPT/net_G/net_D}"
 DREST=""
 [ -f "$DCKPT" ] && DREST="--restore_D_path $DCKPT"
 
-# FLOPs budget = TFRAC x teacher MACs (reference passes an absolute
-# --target_flops; the procedural teacher's scale varies with QL knobs, so
-# budget relative to it) — shrink_spade_generator runs inside distill.py
-TFLOPS=$($PY - "$TCKPT" "$TFRAC" << 'PYEOF'
+# FLOPs budget: QL_TFLOPS (absolute, the reference passes 5.6e9) wins;
+# otherwise TFRAC x teacher MACs (the procedural teacher's scale varies
+# with QL knobs) — shrink_spade_generator runs inside distill.py
+TFLOPS=${QL_TFLOPS:-}
+[ -n "$TFLOPS" ] || TFLOPS=$($PY - "$TCKPT" "$TFRAC" << 'PYEOF'
 import sys
 sys.path.insert(0, ".")
 from cat_tpu.entry import load_spade_checkpoint
