@@ -335,11 +335,90 @@ def main():
         float(metrics["G_loss/recon"])
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
-    vsb = _emit(ips, res,
-                (", disk-fed" if dataroot else "")
-                + (", device-bank-fed" if devdata else ""),
-                bootstrap=True)
+    suffix = ((", disk-fed" if dataroot else "")
+              + (", device-bank-fed" if devdata else ""))
+    vsb = _emit(ips, res, suffix, bootstrap=True)
     log(f"refined line emitted: {ips:.1f} img/s (vs_baseline {vsb:.3f})")
+
+    if os.environ.get("BENCH_SPADE", "0") == "1":
+        # Second-family flagship line: the GauGAN KA-distill step at the
+        # reference's 5p6B recipe scale (teacher ngf64, student shrunk to
+        # 5.6e9 MACs, 512x256, batch 16, bf16, packed + bf16-VGG — the
+        # measured-best config, tools/spade_perf.py).  Env-gated OFF by
+        # default: the extra ~3-6 min cold compile would risk the driver
+        # gate's timeout (the round-2 gate died at rc=124); the committed
+        # numbers live in PARITY.md.  The headline inception line is
+        # re-emitted LAST either way (the driver parses the last line).
+        try:
+            _spade_phase()
+        except Exception as e:  # pragma: no cover
+            log(f"SPADE phase failed ({e!r}); inception headline stands")
+        _emit(ips, res, suffix)
+
+
+def _spade_phase():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spade_perf",
+        os.path.join(os.path.dirname(__file__), "tools", "spade_perf.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+    args = type("A", (), dict(
+        batch=16, width=512, target_flops=5.6e9, dtype="bfloat16",
+        vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+        iters=int(os.environ.get("BENCH_SPADE_ITERS", "10")),
+    ))()
+    log("SPADE phase: building the 5p6B-recipe distiller")
+    dist, state, teacher_vars, res = sp.build(args)
+    B, H, W = args.batch, args.width // 2, args.width
+
+    @jax.jit
+    def make_batch(key):
+        kl, ki, km = jax.random.split(key, 3)
+        return {
+            "label": jax.random.randint(kl, (B, H, W), 0, 35).astype(jnp.float32),
+            "instance": jax.random.randint(ki, (B, H, W), 0, 4).astype(jnp.float32),
+            "image": jax.random.normal(km, (B, H, W, 3), jnp.float32),
+        }
+
+    batch = make_batch(np.array([0, 3], np.uint32))
+    jax.block_until_ready(batch)
+    log("SPADE phase: batch resident; compiling the fused step")
+    box = [state]
+
+    def step():
+        s, m = dist.train_step(box[0], teacher_vars, batch, 2e-4)
+        box[0] = s
+        return m
+
+    m = step()
+    float(m["G_loss/gan"])
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        m = step()
+    float(m["G_loss/gan"])
+    ips = B * args.iters / (time.perf_counter() - t0)
+
+    base = None
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            blob = json.load(f)
+        base = blob.get("spade_images_per_sec")
+        if base is None:
+            blob["spade_images_per_sec"] = ips
+            with open(BASELINE_PATH, "w") as f:
+                json.dump(blob, f, indent=2)
+    print(json.dumps({
+        "metric": ("gaugan-cityscapes KA-distill step throughput (teacher "
+                   f"ngf64 + student @{res.searched_macs / 1e9:.2f}e9 MACs, "
+                   f"{W}x{H}, batch {B}, bfloat16, packed, bf16-VGG)"),
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / (base or ips), 4),
+    }), flush=True)
+    log(f"SPADE line emitted: {ips:.1f} img/s")
 
 
 if __name__ == "__main__":

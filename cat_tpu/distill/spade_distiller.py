@@ -63,10 +63,12 @@ class SPADEDistillHParams:
     # Slice L1 reductions stay f32 (models/vgg.py)
     vgg_compute_dtype: str = "float32"
     # evaluate SPADE blocks with branch-packed convolutions (identical math
-    # and parameter tree; models/spade.py SPADEBlock docstring).  Measured
-    # on-chip at gaugan-teacher scale: fwd +4.5%, fwd+bwd -3% — default
-    # OFF for training (unlike the inception path, where packing is +10%)
-    packed_blocks: bool = False
+    # and parameter tree; models/spade.py SPADEBlock docstring).  Default ON:
+    # at the reference's production scale (512x256, batch 16, bf16) packing
+    # measures +11% on the distill step and +29% on the teacher-train step
+    # (tools/spade_perf.py; the round-3 'neutral' result was a 256x128
+    # probe-scale artifact — PARITY.md)
+    packed_blocks: bool = True
     # rematerialise the student forward (jax.checkpoint): activation memory
     # for FLOPs — needed to reach the reference's 512x256 GauGAN crops
     remat: bool = False

@@ -30,8 +30,10 @@ from cat_tpu.utils.logger import Logger
 
 
 def _packed(opt, family_default: bool) -> bool:
-    """--packed_blocks tri-state: None keeps the family default (inception
-    ON, SPADE OFF — see the measured numbers in PARITY.md)."""
+    """--packed_blocks tri-state: None keeps the family default (ON for both
+    families since round 4: at the reference's production scale 512x256 the
+    SPADE step measures +11% distill / +29% teacher-train with packing —
+    the earlier 'neutral' result was a 256x128 probe artifact; PARITY.md)."""
     v = getattr(opt, "packed_blocks", None)
     return family_default if v is None else bool(v)
 
@@ -441,7 +443,7 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
         vgg_compute_dtype=opt.vgg_compute_dtype,
-        packed_blocks=_packed(opt, False),
+        packed_blocks=_packed(opt, True),
         init_type=opt.init_type, init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),
     )
@@ -622,7 +624,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         beta2=opt.beta2 if opt.no_TTUR else 0.9,
         compute_dtype=opt.compute_dtype,
         vgg_compute_dtype=opt.vgg_compute_dtype,
-        packed_blocks=_packed(opt, False),
+        packed_blocks=_packed(opt, True),
         init_type=opt.init_type,
         init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),

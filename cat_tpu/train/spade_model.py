@@ -104,10 +104,10 @@ class SPADEHParams:
     init_type: str = "xavier"
     init_gain: float = 0.02
     # evaluate SPADE blocks with branch-packed convolutions (identical math
-    # and parameter tree; models/spade.py SPADEBlock docstring).  Measured
-    # on-chip at gaugan-teacher scale: fwd +4.5%, fwd+bwd -3% — default
-    # OFF for training (unlike the inception path, where packing is +10%)
-    packed_blocks: bool = False
+    # and parameter tree; models/spade.py SPADEBlock docstring).  Default ON:
+    # measured +29% on the 512x256 batch-16 teacher-train step
+    # (tools/spade_perf.py --task; PARITY.md)
+    packed_blocks: bool = True
     # 'float32' | 'bfloat16' — bf16 generator compute with f32 master
     # weights, norm statistics and losses (same contract as the SPADE
     # distiller's compute_dtype)

@@ -39,6 +39,9 @@ NGF=${QL_NGF:-32}
 TFRAC=${QL_TFRAC:-0.5}
 CLASSES=${QL_CLASSES:-8}
 CDT=${QL_CDT:-bfloat16}
+# bf16 VGG sweep: ~2.6% step win on top of packing at 512x256 (spade_perf);
+# validated end-to-end by this loop's FID trajectory.  float32 to disable.
+VGGDT=${QL_VGGDT:-bfloat16}
 REMAT=${QL_REMAT:-1}
 LVGG=${QL_LVGG:-10}
 # semantic channels = classes + instance edge; aspect 2 -> height = width/2
@@ -47,6 +50,7 @@ COMMON="--dataset_mode cityscapes --input_nc $CLASSES \
   --netG inception_spade --num_upsampling_layers normal \
   --norm_G spadesyncbatch3x3 --gan_mode hinge \
   --lambda_vgg $LVGG --remat $REMAT \
+  --vgg_compute_dtype $VGGDT \
   --save_full_state 0"
 # save_full_state 0: per-net checkpoints only (the reference's save_networks
 # contract); the full 2.6GB resume state per save is prohibitive on this

@@ -151,9 +151,51 @@ def timed(fn, warmup, iters, name, imgs=None):
     return dt
 
 
+def build_task(args):
+    """SPADE TEACHER-training step (train.py --model spade) at the same
+    reference scale — the quality loop's longest stage."""
+    from cat_tpu.core.spade_config import (
+        MultiscaleDiscriminatorConfig, SPADEGeneratorConfig,
+    )
+    from cat_tpu.models.vgg import VGG19Features
+    from cat_tpu.train.common import init_on_cpu
+    from cat_tpu.train.spade_model import SPADEHParams, SPADETask
+
+    H, W = args.width // 2, args.width
+    NC = 36
+    cfg = SPADEGeneratorConfig.make(
+        semantic_nc=NC, ngf=64, channels=None,
+        channels_reduction_factor=6, kernel_sizes=(1, 3, 5),
+        num_upsampling_layers="normal", crop_size=args.width,
+        aspect_ratio=2.0,
+    )
+    vgg_variables = None
+    if args.vgg:
+        vgg_variables = init_on_cpu(
+            lambda: VGG19Features().init(
+                np.array([0, 9], np.uint32), jnp.zeros((1, 32, 32, 3)))
+        )
+    hp = SPADEHParams(
+        gan_mode="hinge", lambda_feat=10.0,
+        lambda_vgg=10.0 if args.vgg else 0.0,
+        compute_dtype=args.dtype, vgg_compute_dtype=args.vgg_dtype,
+        packed_blocks=args.packed, remat=args.remat,
+    )
+    task = SPADETask(
+        cfg,
+        MultiscaleDiscriminatorConfig(input_nc=NC + 3),
+        hp, vgg_variables=vgg_variables, input_nc=NC - 1,
+    )
+    log("initialising teacher-train state (host numpy)")
+    state = task.init_state(np.array([0, 1], np.uint32), H, W)
+    return task, state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--task", action="store_true",
+                    help="time the SPADE TEACHER-training step instead")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--target_flops", type=float, default=5.6e9)
     ap.add_argument("--dtype", default="bfloat16")
@@ -165,7 +207,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
-    dist, state, teacher_vars, res = build(args)
+    if args.task:
+        task, tstate = build_task(args)
+    else:
+        dist, state, teacher_vars, res = build(args)
     B, H, W = args.batch, args.width // 2, args.width
     log(f"backend={jax.default_backend()}; batch {B} at {W}x{H}, "
         f"dtype {args.dtype}, packed={args.packed}, remat={args.remat}, "
@@ -186,33 +231,47 @@ def main():
     float(_scalar_probe(batch))
     log("batch resident; compiling the fused train step (cold: minutes)")
 
-    box = [state]
+    suffix = (f"{' packed' if args.packed else ''}"
+              f"{' remat' if args.remat else ''}"
+              f"{'' if args.vgg else ' novgg'}"
+              f"{' vgg-bf16' if args.vgg and args.vgg_dtype == 'bfloat16' else ''}")
 
-    def step():
-        s, metrics = dist.train_step(box[0], teacher_vars, batch, 2e-4)
-        box[0] = s
-        return metrics
+    if args.task:
+        tbox = [tstate]
+
+        def step():
+            s, metrics = task.train_step(tbox[0], batch, 2e-4)
+            tbox[0] = s
+            return metrics
+
+        kind, desc = "spade-teacher-step", "teacher-training step (ngf64)"
+    else:
+        box = [state]
+
+        def step():
+            s, metrics = dist.train_step(box[0], teacher_vars, batch, 2e-4)
+            box[0] = s
+            return metrics
+
+        kind = "spade-distill-step"
+        desc = (f"KA-distill step (teacher ngf64 + student "
+                f"@{res.searched_macs / 1e9:.2f}e9 MACs)")
 
     t_first = time.perf_counter()
     m = step()
     float(_scalar_probe(m))
     log(f"first step done ({time.perf_counter() - t_first:.1f}s incl. compile)")
     dt = timed(step, warmup=1, iters=args.iters,
-               name=f"spade-distill-step b{B} {W}x{H} {args.dtype}"
-                    f"{' packed' if args.packed else ''}"
-                    f"{' remat' if args.remat else ''}"
-                    f"{'' if args.vgg else ' novgg'}"
-                    f"{' vgg-bf16' if args.vgg and args.vgg_dtype == 'bfloat16' else ''}",
+               name=f"{kind} b{B} {W}x{H} {args.dtype}{suffix}",
                imgs=B)
     print(json.dumps({
-        "metric": "gaugan-cityscapes KA-distill step throughput "
-                  f"(teacher ngf64 + student @{res.searched_macs / 1e9:.2f}e9 MACs, "
-                  f"{W}x{H}, batch {B}, {args.dtype})",
+        "metric": f"gaugan-cityscapes {desc} throughput "
+                  f"({W}x{H}, batch {B}, {args.dtype})",
         "value": round(B / dt, 3),
         "unit": "images/sec/chip",
     }), flush=True)
 
-    if args.components:
+    if args.components and not args.task:
         sem_fn = jax.jit(lambda b: dist._semantics(b))
         sem = sem_fn(batch)
         float(_scalar_probe(sem))
