@@ -60,6 +60,51 @@ def capture(out_dir: str, steps: int) -> None:
     print("[profile] trace captured", file=sys.stderr)
 
 
+def capture_spade(out_dir: str, steps: int, batch: int) -> None:
+    """Trace the GauGAN flagship step (the 5p6B reference recipe scale that
+    tools/spade_perf.py times): teacher ngf64 + student ngf48 shrunk to
+    5.6e9 MACs, 512x256, hinge+feat+VGG(bf16), packed SPADE blocks, remat."""
+    import argparse as _ap
+    import importlib
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sp = importlib.import_module("spade_perf")
+    sp.log = lambda m: print(f"[profile] {m}", file=sys.stderr, flush=True)
+    args = _ap.Namespace(
+        batch=batch, width=512, target_flops=5.6e9, dtype="bfloat16",
+        vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+    )
+    dist, state, teacher_vars, res = sp.build(args)
+    import jax.numpy as jnp
+
+    B, H, W = batch, args.width // 2, args.width
+
+    @jax.jit
+    def make_batch(key):
+        kl, ki, km = jax.random.split(key, 3)
+        return {
+            "label": jax.random.randint(kl, (B, H, W), 0, 35).astype(jnp.float32),
+            "instance": jax.random.randint(ki, (B, H, W), 0, 4).astype(jnp.float32),
+            "image": jax.random.normal(km, (B, H, W, 3), jnp.float32),
+        }
+
+    batch_d = make_batch(np.array([0, 3], dtype=np.uint32))
+    float(sp._scalar_probe(batch_d))
+    for _ in range(3):
+        state, metrics = dist.train_step(state, teacher_vars, batch_d, 2e-4)
+    float(sp._scalar_probe(metrics))
+    print(f"[profile] warm; tracing {steps} spade steps -> {out_dir}",
+          file=sys.stderr)
+    with jax.profiler.trace(out_dir):
+        for _ in range(steps):
+            state, metrics = dist.train_step(state, teacher_vars, batch_d, 2e-4)
+        float(sp._scalar_probe(metrics))
+    print("[profile] trace captured", file=sys.stderr)
+
+
 def _load_events(trace_dir: str):
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
@@ -175,10 +220,19 @@ def main():
     ap.add_argument("--parse", metavar="DIR", default=None,
                     help="skip capture; parse an existing trace dir")
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--spade", action="store_true",
+                    help="trace the GauGAN 512x256 flagship step instead")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="per-chip batch for --spade")
     args = ap.parse_args()
     if args.parse:
         parse(args.parse, args.top)
         parse_categories(args.parse, args.top)
+        return
+    if args.spade:
+        capture_spade(args.out, args.steps, args.batch)
+        parse(args.out, args.top)
+        parse_categories(args.out, args.top)
         return
     capture(args.out, args.steps)
     parse(args.out, args.top)

@@ -44,6 +44,9 @@ CDT=${QL_CDT:-bfloat16}
 VGGDT=${QL_VGGDT:-bfloat16}
 REMAT=${QL_REMAT:-1}
 LVGG=${QL_LVGG:-10}
+# reference train_inception_student_5p6B.sh:22,24-26 values
+LDISTILL=${QL_LDISTILL:-0.5}
+CINLB=${QL_CINLB:-16}
 # semantic channels = classes + instance edge; aspect 2 -> height = width/2
 COMMON="--dataset_mode cityscapes --input_nc $CLASSES \
   --crop_size $WIDTH --load_size $WIDTH --aspect_ratio 2.0 \
@@ -124,16 +127,31 @@ $PY distill.py --dataroot "$DATA" \
   --nepochs "$DEPOCHS" --nepochs_decay "$DDECAY" \
   --teacher_ngf "$NGF" --ndf 64 --num_D 2 \
   --target_flops "$TFLOPS" \
-  --prune_cin_lb 4 \
+  --prune_cin_lb "$CINLB" \
   --batch_size "$BATCH" \
   --eval_batch_size 8 \
   --save_epoch_freq 10 \
   --distill_G_loss_type ka \
-  --lambda_distill 1.0 \
+  --lambda_distill "$LDISTILL" \
   --compute_dtype "$CDT"
 
 SCKPT="$WORK/student/checkpoints/best_net_G.msgpack"
 [ -f "$SCKPT" ] || SCKPT="$WORK/student/checkpoints/latest_net_G.msgpack"
+
+# profile verb (reference profiler.py through the spade distiller:
+# shrink-latency benchmark, MAC/param accounting, latency, FID sweep + dumps)
+$PY profile.py --dataroot "$DATA" \
+  --distiller spade $COMMON \
+  --log_dir "$WORK/eval" \
+  --restore_teacher_G_path "$TCKPT" \
+  --pretrained_student_G_path "$SCKPT" \
+  --real_stat_path "$WORK/real_stat.npz" \
+  --inception_path "$JUDGE" \
+  --teacher_ngf "$NGF" --ndf 64 --num_D 2 \
+  --target_flops "$TFLOPS" \
+  --prune_cin_lb "$CINLB" \
+  --eval_batch_size 8 \
+  --times 10
 
 $PY export.py --dataroot "$DATA" \
   --dataset_mode cityscapes --input_nc "$CLASSES" \
