@@ -47,10 +47,20 @@ LVGG=${QL_LVGG:-10}
 # reference train_inception_student_5p6B.sh:22,24-26 values
 LDISTILL=${QL_LDISTILL:-0.5}
 CINLB=${QL_CINLB:-16}
+# reference recipe block geometry (train_inception_teacher.sh:12-13 and
+# train_inception_student_5p6B.sh:21-22) — without these the teacher is
+# built at the global defaults (crf 1, kernels 3/5/7): ~6x wider branches,
+# which OOMs a 16G chip at 512x256 b16
+CRF=${QL_CRF:-6}
+KS=${QL_KS:-"1 3 5"}
+# reference SPADE default (spade_model.py:33-38); the cityscapes recipes
+# do not override it
+UPS=${QL_UPS:-more}
 # semantic channels = classes + instance edge; aspect 2 -> height = width/2
 COMMON="--dataset_mode cityscapes --input_nc $CLASSES \
   --crop_size $WIDTH --load_size $WIDTH --aspect_ratio 2.0 \
-  --netG inception_spade --num_upsampling_layers normal \
+  --netG inception_spade --num_upsampling_layers $UPS \
+  --channels_reduction_factor $CRF --kernel_sizes $KS \
   --norm_G spadesyncbatch3x3 --gan_mode hinge \
   --lambda_vgg $LVGG --remat $REMAT \
   --vgg_compute_dtype $VGGDT \
@@ -156,7 +166,8 @@ $PY profile.py --dataroot "$DATA" \
 $PY export.py --dataroot "$DATA" \
   --dataset_mode cityscapes --input_nc "$CLASSES" \
   --crop_size "$WIDTH" --load_size "$WIDTH" --aspect_ratio 2.0 \
-  --netG inception_spade --num_upsampling_layers normal \
+  --netG inception_spade --num_upsampling_layers "$UPS" \
+  --channels_reduction_factor $CRF --kernel_sizes $KS \
   --norm_G spadesyncbatch3x3 \
   --log_dir "$WORK/student" \
   --restore_teacher_G_path "$TCKPT" \

@@ -73,8 +73,8 @@ def build(args):
         return SPADEGeneratorConfig.make(
             semantic_nc=NC, ngf=ngf, channels=None,
             channels_reduction_factor=6, kernel_sizes=(1, 3, 5),
-            num_upsampling_layers="normal", crop_size=args.width,
-            aspect_ratio=2.0,
+            num_upsampling_layers=getattr(args, "ups", "normal"),
+            crop_size=args.width, aspect_ratio=2.0,
         )
 
     teacher_cfg = cfg(64)
@@ -166,8 +166,8 @@ def build_task(args):
     cfg = SPADEGeneratorConfig.make(
         semantic_nc=NC, ngf=64, channels=None,
         channels_reduction_factor=6, kernel_sizes=(1, 3, 5),
-        num_upsampling_layers="normal", crop_size=args.width,
-        aspect_ratio=2.0,
+        num_upsampling_layers=getattr(args, "ups", "normal"),
+        crop_size=args.width, aspect_ratio=2.0,
     )
     vgg_variables = None
     if args.vgg:
@@ -197,6 +197,9 @@ def main():
     ap.add_argument("--task", action="store_true",
                     help="time the SPADE TEACHER-training step instead")
     ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--ups", default="normal",
+                    choices=["normal", "more", "most"],
+                    help="num_upsampling_layers (reference SPADE default: more)")
     ap.add_argument("--target_flops", type=float, default=5.6e9)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--vgg_dtype", default="float32")
