@@ -368,6 +368,7 @@ def _spade_phase():
     args = type("A", (), dict(
         batch=16, width=512, target_flops=5.6e9, dtype="bfloat16",
         vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+        ups="more",  # reference SPADE default (spade_model.py:33-38)
         iters=int(os.environ.get("BENCH_SPADE_ITERS", "10")),
     ))()
     log("SPADE phase: building the 5p6B-recipe distiller")

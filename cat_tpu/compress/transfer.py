@@ -37,6 +37,30 @@ def _topk_desc(q: np.ndarray, k: int) -> np.ndarray:
     return order[:k]
 
 
+def _pair_branches(src_active, dst_active, what: str):
+    """Match student branches to source branches by ORIGINAL branch index.
+
+    Our configs keep pruned-away branches at their original positions
+    (width 0), so module names (``res{i}_*`` / ``dw{i}_*``) carry the
+    original index.  Zipping the *active* lists positionally — as the
+    reference does over its compacted ModuleLists — would mis-pair
+    branches whenever the student dropped a leading branch (e.g. teacher
+    kernels (1, 3, 5) with student branch 0 pruned would write the 3x3
+    teacher kernel into the student's 5x5 slot).  Match by index instead
+    and assert the kernels agree."""
+    src_kernels = {i: k for i, _, k in src_active}
+    pairs = []
+    for bd, cd, kd in dst_active:
+        if bd not in src_kernels:
+            raise KeyError(
+                f"{what}: student branch {bd} (k={kd}) has no active "
+                f"source branch to transfer from"
+            )
+        assert src_kernels[bd] == kd, (what, bd, src_kernels[bd], kd)
+        pairs.append((bd, bd, cd))
+    return pairs
+
+
 def _transfer_conv(src: Dict, n_out: int, in_idx: Optional[np.ndarray],
                    out_idx: Optional[np.ndarray] = None) -> (Dict, np.ndarray):
     """Slice an HWIO conv param dict; returns (new params, out indices)."""
@@ -93,7 +117,8 @@ def transfer_generator_params(
     for i, (sb, db) in enumerate(zip(src_cfg.blocks, dst_cfg.blocks)):
         sp = src_params[f"block{i}"]
         nb: Dict = {}
-        for (bs, _, _), (bd, mid_d, _) in zip(sb.active_res, db.active_res):
+        for bs, bd, mid_d in _pair_branches(sb.active_res, db.active_res,
+                                            f"block{i}.res"):
             conv, mid_idx = _transfer_conv(sp[f"res{bs}_in"]["conv"], mid_d, block_in_idx)
             nb[f"res{bd}_in"] = {
                 "conv": conv,
@@ -103,7 +128,8 @@ def transfer_generator_params(
                 sp[f"res{bs}_out"], db.dim, mid_idx, out_idx=block_in_idx
             )
             nb[f"res{bd}_out"] = conv_out
-        for (bs, _, _), (bd, mid_d, _) in zip(sb.active_dw, db.active_dw):
+        for bs, bd, mid_d in _pair_branches(sb.active_dw, db.active_dw,
+                                            f"block{i}.dw"):
             conv, mid_idx = _transfer_conv(sp[f"dw{bs}_in"]["conv"], mid_d, block_in_idx)
             nb[f"dw{bd}_in"] = {
                 "conv": conv,
@@ -177,14 +203,16 @@ def _transfer_spade_mlp(src: Dict, src_layer, dst_layer, idx: np.ndarray) -> Dic
     nb: Dict = {}
     assert len(idx) == dst_layer.norm_nc, (len(idx), dst_layer.norm_nc)
     out_idx = np.concatenate([idx, np.asarray(idx) + src_layer.norm_nc])
-    for (bs, _, _), (bd, mid_d, _) in zip(src_layer.active_res, dst_layer.active_res):
+    for bs, bd, mid_d in _pair_branches(src_layer.active_res,
+                                        dst_layer.active_res, "spade.res"):
         node, mid_idx = _conv_node(src[f"res{bs}_in"], mid_d, None)
         node["norm"] = _transfer_norm(src[f"res{bs}_in"]["norm"], mid_idx)
         nb[f"res{bd}_in"] = node
         conv, _ = _transfer_conv(src[f"res{bs}_out"], 2 * dst_layer.norm_nc,
                                  mid_idx, out_idx=out_idx)
         nb[f"res{bd}_out"] = conv
-    for (bs, _, _), (bd, mid_d, _) in zip(src_layer.active_dw, dst_layer.active_dw):
+    for bs, bd, mid_d in _pair_branches(src_layer.active_dw,
+                                        dst_layer.active_dw, "spade.dw"):
         node, mid_idx = _conv_node(src[f"dw{bs}_in"], mid_d, None)
         node["norm"] = _transfer_norm(src[f"dw{bs}_in"]["norm"], mid_idx)
         nb[f"dw{bd}_in"] = node
@@ -224,14 +252,16 @@ def _transfer_spade_block(src: Dict, src_b, dst_b, idx: np.ndarray):
         nb["shortcut_conv"] = node
     else:
         out_idx = idx
-    for (bs, _, _), (bd, mid_d, _) in zip(src_b.active_res, dst_b.active_res):
+    for bs, bd, mid_d in _pair_branches(src_b.active_res, dst_b.active_res,
+                                        "block.res"):
         node, mid_idx = _conv_node(src[f"res{bs}_in"], mid_d, idx)
         node["norm"] = _transfer_norm(src[f"res{bs}_in"]["norm"], mid_idx)
         nb[f"res{bd}_in"] = node
         conv_out, _ = _conv_node(src[f"res{bs}_out"], dst_b.fout, mid_idx,
                                  out_idx=out_idx)
         nb[f"res{bd}_out"] = conv_out
-    for (bs, _, _), (bd, mid_d, _) in zip(src_b.active_dw, dst_b.active_dw):
+    for bs, bd, mid_d in _pair_branches(src_b.active_dw, dst_b.active_dw,
+                                        "block.dw"):
         node, mid_idx = _conv_node(src[f"dw{bs}_in"], mid_d, idx)
         node["norm"] = _transfer_norm(src[f"dw{bs}_in"]["norm"], mid_idx)
         nb[f"dw{bd}_in"] = node

@@ -332,6 +332,64 @@ def test_distill_cli_spade_teacher_D_restore(tmp_path):
     assert "Pretrained weights transferred" in log
 
 
+def test_distill_cli_spade_shrink_transfer(tmp_path):
+    """5p6B-recipe chain: --target_flops drives shrink_spade INSIDE distill
+    while --restore_pretrained_G_path transfers into the searched student
+    (reference train_inception_student_5p6B.sh passes both, with
+    --kernel_sizes 1 3 5).  Regression: the transfer paired active branches
+    positionally, so when shrink pruned a leading branch the next branch
+    inherited the wrong-sized teacher kernel (live ScopeParamShapeError at
+    up_3/dw2_mid: 3x3 written into the 5x5 slot)."""
+    from cat_tpu.compress.spade import profile_spade_generator
+    from cat_tpu.entry import distill_main, load_spade_checkpoint, train_main
+
+    make_cityscapes_root(tmp_path)
+    tdir = str(tmp_path / "teacher")
+    common = [
+        "--dataroot", str(tmp_path),
+        "--dataset_mode", "cityscapes",
+        "--input_nc", "4",
+        "--num_upsampling_layers", "normal",
+        "--kernel_sizes", "1", "3", "5",
+        "--channels_reduction_factor", "2",
+        "--crop_size", "64", "--load_size", "64",
+        "--aspect_ratio", "1.0",
+        "--ndf", "4", "--num_D", "2",
+        "--batch_size", "2",
+        "--nepochs", "1", "--nepochs_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "1",
+        "--lambda_vgg", "0",
+        "--inception_path", "/nonexistent.pth",
+    ]
+    train_main(common + [
+        "--model", "spade",
+        "--netG", "inception_spade",
+        "--ngf", "4",
+        "--log_dir", tdir,
+    ])
+    tg = os.path.join(tdir, "checkpoints", "latest_net_G.msgpack")
+    cfg, _ = load_spade_checkpoint(tg)
+    budget = profile_spade_generator(cfg, 64, 64).macs // 2
+
+    log_dir = str(tmp_path / "student")
+    distill_main(common + [
+        "--distiller", "spade",
+        "--teacher_netG", "inception_spade",
+        "--student_netG", "inception_spade",
+        "--teacher_ngf", "4", "--student_ngf", "4",
+        "--restore_teacher_G_path", tg,
+        "--restore_pretrained_G_path", tg,
+        "--target_flops", str(budget),
+        "--prune_cin_lb", "1",
+        "--log_dir", log_dir,
+    ])
+    assert glob.glob(os.path.join(log_dir, "checkpoints", "1_net_G.*"))
+    log = open(os.path.join(log_dir, "log.txt")).read()
+    assert "Pretrained weights transferred" in log
+    assert "searched flops" in log
+
+
 def test_train_cli_resume_from_state(unaligned_root, tmp_path):
     """--restore_state_path resumes the full train state (was parsed but
     dead); --epoch_base continues the numbering."""

@@ -178,6 +178,84 @@ def test_spade_transfer_value_semantics():
     )
 
 
+def test_transfer_matches_branches_by_index_not_position():
+    """Regression: with teacher kernels (1, 3) and the student's branch 0
+    pruned away, positional zipping of the ACTIVE lists would write the 1x1
+    teacher kernel into the student's 3x3 slot (seen live as a
+    ScopeParamShapeError at up_3/dw2_mid with the 1/3/5 recipe).  Branches
+    must pair by original index."""
+    import dataclasses
+
+    src_cfg = make_cfg(8)
+    blocks = tuple(
+        dataclasses.replace(
+            b,
+            res_channels=(0,) + b.res_channels[1:],
+            dw_channels=(0,) + b.dw_channels[1:],
+        )
+        for b in src_cfg.blocks
+    )
+    dst_cfg = dataclasses.replace(src_cfg, blocks=blocks)
+    src = InceptionGenerator(src_cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    sp = transfer_generator_params(src, src_cfg, dst_cfg)
+    sv = InceptionGenerator(dst_cfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3))
+    )["params"]
+    assert jax.tree.map(lambda x: np.asarray(x).shape, sp) == jax.tree.map(
+        lambda x: x.shape, sv
+    )
+    # the surviving branch keeps its own (3x3) teacher kernel, channel-sliced
+    k_src = np.asarray(src["block0"]["res1_in"]["conv"]["kernel"])
+    k_dst = np.asarray(sp["block0"]["res1_in"]["conv"]["kernel"])
+    assert k_src.shape[:2] == k_dst.shape[:2] == (3, 3)
+
+
+def test_spade_transfer_matches_branches_by_index():
+    """Same regression for the SPADE chain (block branches AND the nested
+    γ/β net), with the reference 5p6B recipe's 3-kernel layout (1, 3, 5)."""
+    import dataclasses
+
+    src_cfg = SPADEGeneratorConfig.make(
+        semantic_nc=S_NC, ngf=2, channels=None, channels_reduction_factor=4,
+        kernel_sizes=(1, 3, 5), num_upsampling_layers="normal",
+        crop_size=S_SIZE, aspect_ratio=1.0, nhidden=16,
+    )
+
+    def prune_first(t):
+        return (0,) + t[1:]
+
+    blocks = tuple(
+        dataclasses.replace(
+            b,
+            res_channels=prune_first(b.res_channels),
+            dw_channels=prune_first(b.dw_channels),
+            spade=dataclasses.replace(
+                b.spade,
+                res_channels=prune_first(b.spade.res_channels),
+                dw_channels=prune_first(b.spade.dw_channels),
+            ),
+        )
+        for b in src_cfg.blocks
+    )
+    dst_cfg = dataclasses.replace(src_cfg, blocks=blocks)
+    src = _spade_init(src_cfg)["params"]
+    sp = transfer_spade_generator_params(src, src_cfg, dst_cfg)
+    sv = _spade_init(dst_cfg, seed=1)
+    assert jax.tree.map(lambda x: np.asarray(x).shape, sp) == jax.tree.map(
+        lambda x: x.shape, sv["params"]
+    )
+    # dw branch 2 keeps its 5x5 depthwise kernel (this was the live crash:
+    # a 3x3 kernel transferred into the 5x5 dw2_mid slot)
+    b0 = src_cfg.block_names[0]
+    assert np.asarray(sp[b0]["dw2_mid"]["conv"]["kernel"]).shape[:2] == (5, 5)
+    y = SPADEGenerator(dst_cfg).apply(
+        {**sv, "params": sp}, jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
+    )
+    assert y.shape == (1, S_SIZE, S_SIZE, 3)
+
+
 def test_spade_transfer_into_pruned_student():
     from cat_tpu.compress.shrink import PruneBounds
     from cat_tpu.compress.spade import profile_spade_generator, shrink_spade_generator

@@ -76,6 +76,7 @@ def capture_spade(out_dir: str, steps: int, batch: int) -> None:
     args = _ap.Namespace(
         batch=batch, width=512, target_flops=5.6e9, dtype="bfloat16",
         vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+        ups="more",  # reference SPADE default (spade_model.py:33-38)
     )
     dist, state, teacher_vars, res = sp.build(args)
     import jax.numpy as jnp

@@ -197,9 +197,10 @@ def main():
     ap.add_argument("--task", action="store_true",
                     help="time the SPADE TEACHER-training step instead")
     ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--ups", default="normal",
+    ap.add_argument("--ups", default="more",
                     choices=["normal", "more", "most"],
-                    help="num_upsampling_layers (reference SPADE default: more)")
+                    help="num_upsampling_layers (reference SPADE default: "
+                         "more, spade_model.py:33-38)")
     ap.add_argument("--target_flops", type=float, default=5.6e9)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--vgg_dtype", default="float32")
