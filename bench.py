@@ -343,8 +343,10 @@ def main():
     if os.environ.get("BENCH_SPADE", "0") == "1":
         # Second-family flagship line: the GauGAN KA-distill step at the
         # reference's 5p6B recipe scale (teacher ngf64, student shrunk to
-        # 5.6e9 MACs, 512x256, batch 16, bf16, packed + bf16-VGG — the
-        # measured-best config, tools/spade_perf.py).  Env-gated OFF by
+        # 5.6e9 MACs, 512x256, batch 32, bf16, packed + bf16-VGG, no remat
+        # — the measured-best config, tools/spade_perf.py; the remat
+        # boundary's layout copies cost 25% at b16 and b32 fits without
+        # it).  Env-gated OFF by
         # default: the extra ~3-6 min cold compile would risk the driver
         # gate's timeout (the round-2 gate died at rc=124); the committed
         # numbers live in PARITY.md.  The headline inception line is
@@ -366,8 +368,8 @@ def _spade_phase():
     sp = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(sp)
     args = type("A", (), dict(
-        batch=16, width=512, target_flops=5.6e9, dtype="bfloat16",
-        vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+        batch=32, width=512, target_flops=5.6e9, dtype="bfloat16",
+        vgg_dtype="bfloat16", packed=True, remat=False, vgg=True,
         ups="more",  # reference SPADE default (spade_model.py:33-38)
         iters=int(os.environ.get("BENCH_SPADE_ITERS", "10")),
     ))()

@@ -14,7 +14,7 @@ per-device batch of 8; ``--batch`` here is the PER-CHIP batch.
 Usage:
   python tools/spade_perf.py                 # full step, batch 16
   python tools/spade_perf.py --batch 8
-  python tools/spade_perf.py --packed        # branch-packed SPADE blocks
+  python tools/spade_perf.py --no-packed     # unpacked SPADE blocks
   python tools/spade_perf.py --no-remat      # no student rematerialisation
   python tools/spade_perf.py --no-vgg        # drop the VGG term
   python tools/spade_perf.py --components    # also time step pieces
@@ -204,7 +204,10 @@ def main():
     ap.add_argument("--target_flops", type=float, default=5.6e9)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--vgg_dtype", default="float32")
-    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--packed", action="store_true", default=True,
+                    help="branch-packed SPADE blocks (the framework default "
+                         "since round 4 — entry.py _packed(opt, True))")
+    ap.add_argument("--no-packed", dest="packed", action="store_false")
     ap.add_argument("--no-remat", dest="remat", action="store_false")
     ap.add_argument("--no-vgg", dest="vgg", action="store_false")
     ap.add_argument("--components", action="store_true")
