@@ -56,7 +56,14 @@ def _pair_branches(src_active, dst_active, what: str):
                 f"{what}: student branch {bd} (k={kd}) has no active "
                 f"source branch to transfer from"
             )
-        assert src_kernels[bd] == kd, (what, bd, src_kernels[bd], kd)
+        if src_kernels[bd] != kd:
+            # explicit raise (not assert): this is the only check that the
+            # paired teacher branch has the right kernel size, and it must
+            # survive python -O
+            raise ValueError(
+                f"{what}: branch {bd} kernel mismatch — source k="
+                f"{src_kernels[bd]} vs student k={kd}"
+            )
         pairs.append((bd, bd, cd))
     return pairs
 

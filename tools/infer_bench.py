@@ -98,15 +98,19 @@ def _sweep(fwd_t, fwd_s, make_x, batches, family, iters):
             dt = timed(lambda fwd=fwd, x=x: fwd(x),
                        f"infer/{family}_{tag} b{b}", imgs=b, iters=n)
             rows[(tag, b)] = dt
-    t_b1, s_b1 = rows[("teacher", 1)], rows[("student", 1)]
+    # b1 columns only when batch 1 was actually swept (--batches overrides
+    # like "8,64" are allowed; emit nulls rather than KeyError after the
+    # whole sweep already ran)
+    t_b1 = rows.get(("teacher", 1))
+    s_b1 = rows.get(("student", 1))
     bmax = max(batches)
     t_thru = bmax / rows[("teacher", bmax)]
     s_thru = bmax / rows[("student", bmax)]
     summary = {
         "name": f"infer/{family} summary",
-        "teacher_b1_ms": round(t_b1 * 1e3, 3),
-        "student_b1_ms": round(s_b1 * 1e3, 3),
-        "b1_latency_speedup": round(t_b1 / s_b1, 2),
+        "teacher_b1_ms": round(t_b1 * 1e3, 3) if t_b1 else None,
+        "student_b1_ms": round(s_b1 * 1e3, 3) if s_b1 else None,
+        "b1_latency_speedup": round(t_b1 / s_b1, 2) if t_b1 and s_b1 else None,
         "teacher_img_per_s": round(t_thru, 1),
         "student_img_per_s": round(s_thru, 1),
         "throughput_speedup": round(s_thru / t_thru, 2),
@@ -172,11 +176,13 @@ def run_spade(batches, iters):
     def fwd_s(seg):
         return dist._apply(dist.netG_student, s_params, s_stats, seg, False)[0]
 
+    h, w = args.width // 2, args.width  # aspect 2.0, same as spade_perf.build
+
     def make_x(b):
         @jax.jit
         def gen(key):
             # one-hot-ish segmap: scaled uniform keeps the conv work honest
-            return jax.random.uniform(key, (b, 256, 512, nc), jnp.bfloat16)
+            return jax.random.uniform(key, (b, h, w, nc), jnp.bfloat16)
         return gen(np.array([0, b], np.uint32))
 
     log(f"spade: student {res.searched_macs:,} MACs; sweeping "

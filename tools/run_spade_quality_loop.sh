@@ -150,6 +150,8 @@ SCKPT="$WORK/student/checkpoints/best_net_G.msgpack"
 
 # profile verb (reference profiler.py through the spade distiller:
 # shrink-latency benchmark, MAC/param accounting, latency, FID sweep + dumps)
+# resumable like the other stages: the eval image dump is the stage output
+[ -d "$WORK/eval/eval/latest" ] || \
 $PY profile.py --dataroot "$DATA" \
   --distiller spade $COMMON \
   --log_dir "$WORK/eval" \
