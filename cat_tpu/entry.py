@@ -146,7 +146,8 @@ def _place(state, aux, mesh):
     return state, aux, (lambda b: shard_batch(b, mesh))
 
 
-def make_miou_evaluator(opt, generate, eval_loader, mesh=None):
+def make_miou_evaluator(opt, generate, eval_loader, mesh=None,
+                        process_shard=None):
     """mIoU judge when evaluating cityscapes photos (reference condition:
     'cityscapes' in dataroot and direction BtoA —
     distillers/inception_distiller.py:262-279)."""
@@ -165,16 +166,62 @@ def make_miou_evaluator(opt, generate, eval_loader, mesh=None):
     return MIoUEvaluator(
         generate, eval_loader, model, variables, opt.table_path,
         data_dir=opt.cityscapes_path, batch_size=opt.eval_batch_size,
-        mesh=mesh,
+        mesh=mesh, process_shard=process_shard,
     )
 
 
 def _eval_mesh(mesh):
     """Mesh for the evaluation sweep (SURVEY §5.8): the training mesh on a
-    single process; None under multi-host, where device_put of host-local
-    eval batches to a global sharding is not possible — each process runs
-    the sweep unsharded and identically instead."""
-    return mesh if mesh is not None and jax.process_count() == 1 else None
+    single process; under multi-host, the process-LOCAL device mesh — each
+    host sweeps its round-robin share of the val batches as an independent
+    program (device_put of host-local eval batches to a global sharding is
+    not possible), and the Fréchet / fast_hist reductions merge host-side
+    (parallel.multihost.reduce_moments / reduce_hist)."""
+    if mesh is None:
+        return None
+    if jax.process_count() == 1:
+        return mesh
+    from cat_tpu.parallel import multihost
+
+    return multihost.local_mesh()
+
+
+def _eval_pshard() -> Optional[Tuple[int, int]]:
+    """(process_index, process_count) for evaluator batch sharding under
+    multi-host; None single-process (reference analogue: the full-sweep
+    semantics of metric/__init__.py:11-46, kept but distributed)."""
+    if jax.process_count() == 1:
+        return None
+    from cat_tpu.parallel import multihost
+
+    return multihost.process_shard()
+
+
+def _eval_state_fn(fn, state_supplier, eval_mesh):
+    """Wrap ``fn(state_like, x)`` for the eval sweep.
+
+    Single-process: call with the live (possibly mesh-replicated) value.
+    Multi-host: the sweep runs as independent per-host programs — fetch
+    the (replicated, hence host-addressable) value to numpy once per new
+    state object and re-place it on the local eval mesh, so the generator
+    forward never references the global mesh with per-host inputs."""
+    if jax.process_count() == 1:
+        return lambda x: fn(state_supplier(), x)
+    from cat_tpu.parallel import multihost
+    from cat_tpu.parallel.mesh import replicate as replicate_local
+
+    cache: Dict[str, Any] = {}
+
+    def gen(x):
+        src = state_supplier()
+        if cache.get("src") is not src:
+            cache["src"] = src
+            local = multihost.localize(src)
+            cache["local"] = (replicate_local(local, eval_mesh)
+                              if eval_mesh is not None else local)
+        return fn(cache["local"], x)
+
+    return gen
 
 
 def _real_stats(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
@@ -271,15 +318,16 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
         stats = _real_stats(opt.real_stat_path)
         evaluate_fn = None
         evs = []
-        generate = lambda x: task.generate(task_state_box[0], x)  # noqa: E731
+        em = _eval_mesh(mesh)
+        generate = _eval_state_fn(task.generate, lambda: task_state_box[0], em)
         if judge and stats:
             evs.append(FIDEvaluator(
                 generate, eval_loader, judge[0], judge[1], stats,
                 opt.log_dir if primary else None, opt.eval_batch_size,
-                mesh=_eval_mesh(mesh),
+                mesh=em, process_shard=_eval_pshard(),
             ))
         miou_ev = make_miou_evaluator(opt, generate, eval_loader,
-                                      mesh=_eval_mesh(mesh))
+                                      mesh=em, process_shard=_eval_pshard())
         if miou_ev:
             evs.append(miou_ev)
         if evs:
@@ -330,6 +378,7 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
 
         evaluators = {}
         if judge:
+            em = _eval_mesh(mesh)
             for direction, stat_path in (("A", opt.real_stat_B_path),
                                          ("B", opt.real_stat_A_path)):
                 stats = _real_stats(stat_path)
@@ -341,13 +390,15 @@ def setup_train(opt) -> Tuple[Trainer, Any]:
                     cli.transform_spec(opt), dname,
                 )
                 evaluators[direction] = FIDEvaluator(
-                    functools.partial(
-                        lambda x, d: task.generate(task_state_box[0], x, d), d=dname
+                    _eval_state_fn(
+                        functools.partial(
+                            lambda s, x, d: task.generate(s, x, d), d=dname),
+                        lambda: task_state_box[0], em,
                     ),
                     eval_loader, judge[0], judge[1], stats,
                     opt.log_dir if primary else None,
                     opt.eval_batch_size, name=f"fid_{'B' if direction == 'A' else 'A'}",
-                    mesh=_eval_mesh(mesh),
+                    mesh=em, process_shard=_eval_pshard(),
                 )
         evaluate_fn = combine_evaluators(**evaluators) if evaluators else None
 
@@ -399,13 +450,14 @@ def _spade_evaluators(opt, generate, teacher_generate=None, primary=True,
         pairing_check=not opt.no_pairing_check,
     )
     evs = []
+    em = _eval_mesh(mesh)
     if judge and stats:
         evs.append(FIDEvaluator(
             generate, eval_loader, judge[0], judge[1], stats,
             opt.log_dir if primary else None,
             opt.eval_batch_size, input_key=None,
             teacher_generate=teacher_generate,
-            mesh=_eval_mesh(mesh),
+            mesh=em, process_shard=_eval_pshard(),
         ))
     if want_miou:
         from cat_tpu.metrics.drn import load_drnseg
@@ -413,8 +465,9 @@ def _spade_evaluators(opt, generate, teacher_generate=None, primary=True,
 
         dm, dv = load_drnseg(opt.drn_path)
         miou = MIoUEvaluator(generate, eval_loader, dm, dv, opt.table_path,
+                             data_dir=opt.cityscapes_path,
                              batch_size=opt.eval_batch_size,
-                             mesh=_eval_mesh(mesh))
+                             mesh=em, process_shard=_eval_pshard())
         miou.input_key = None
         evs.append(miou)
     return combine_evaluators(**{"": evs})
@@ -478,7 +531,9 @@ def setup_train_spade(opt) -> Tuple[Trainer, Any]:
     # FID + mIoU + best tracking during teacher training (reference
     # spade_model.evaluate_model:217-288 — was a round-1 gap)
     evaluate_fn = _spade_evaluators(
-        opt, lambda b: task.generate_raw(task_state_box[0], b),
+        opt,
+        _eval_state_fn(task.generate_raw, lambda: task_state_box[0],
+                       _eval_mesh(mesh)),
         primary=primary, mesh=mesh,
     )
 
@@ -701,8 +756,10 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
     # evaluation: FID (+mIoU) of generated street photos from val labels
     evaluate_fn = _spade_evaluators(
         opt,
-        lambda b: dist.generate_student_raw(task_state_box[0], b),
-        teacher_generate=lambda b: dist.generate_teacher_raw(teacher_vars, b),
+        _eval_state_fn(dist.generate_student_raw,
+                       lambda: task_state_box[0], _eval_mesh(mesh)),
+        teacher_generate=_eval_state_fn(
+            dist.generate_teacher_raw, lambda: teacher_vars, _eval_mesh(mesh)),
         primary=primary, mesh=mesh,
     )
 
@@ -857,17 +914,20 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
     eval_loader = create_eval_dataloader(
         opt.dataset_mode, opt.dataroot, opt.eval_batch_size, spec, opt.direction
     )
-    generate = lambda x: dist.generate_student(task_state_box[0], x)  # noqa: E731
+    em = _eval_mesh(mesh)
+    generate = _eval_state_fn(dist.generate_student,
+                              lambda: task_state_box[0], em)
     if judge and stats:
         evs.append(FIDEvaluator(
             generate, eval_loader, judge[0], judge[1], stats,
             opt.log_dir if primary else None,
             opt.eval_batch_size,
-            teacher_generate=lambda x: dist.generate_teacher(teacher_vars, x),
-            mesh=_eval_mesh(mesh),
+            teacher_generate=_eval_state_fn(
+                dist.generate_teacher, lambda: teacher_vars, em),
+            mesh=em, process_shard=_eval_pshard(),
         ))
     miou_ev = make_miou_evaluator(opt, generate, eval_loader,
-                                  mesh=_eval_mesh(mesh))
+                                  mesh=em, process_shard=_eval_pshard())
     if miou_ev:
         evs.append(miou_ev)
     if evs:

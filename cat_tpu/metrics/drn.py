@@ -245,7 +245,42 @@ def convert_torch_drnseg(
     return {"params": params}
 
 
+def save_drnseg(path: str, model: DRNSeg, variables: Dict) -> str:
+    """Persist a (possibly reduced-spec) DRNSeg judge natively: .msgpack
+    weights + .json spec sidecar (classes/layers/channels) — the same
+    config-is-explicit contract as every other checkpoint in this repo
+    (utils/checkpoint.save_net).  Used by tools/train_synth_drn.py to ship
+    a synthetic-cityscapes-trained judge that make_miou_evaluator can load
+    where no egress for drn-d-105_ms_cityscapes.pth exists."""
+    import json
+
+    from cat_tpu.utils.checkpoint import save_pytree
+
+    if not path.endswith(".msgpack"):
+        path += ".msgpack"
+    save_pytree(path, variables)
+    with open(path[: -len(".msgpack")] + ".json", "w") as f:
+        json.dump({"classes": model.classes,
+                   "layers": list(model.layers),
+                   "channels": list(model.channels)}, f)
+    return path
+
+
 def load_drnseg(path: str, classes: int = 19) -> Tuple[DRNSeg, Dict]:
+    """Load a segmentation judge: the reference's
+    drn-d-105_ms_cityscapes.pth (torch state_dict, shape conversion) or a
+    native .msgpack + .json spec pair written by ``save_drnseg``."""
+    if path.endswith(".msgpack"):
+        import json
+
+        from cat_tpu.utils.checkpoint import load_pytree
+
+        with open(path[: -len(".msgpack")] + ".json") as f:
+            meta = json.load(f)
+        model = DRNSeg(classes=int(meta["classes"]),
+                       layers=tuple(meta["layers"]),
+                       channels=tuple(meta["channels"]))
+        return model, load_pytree(path)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -265,8 +300,9 @@ def get_miou(
     variables: Dict,
     batch_size: int = 2,
     target_hw: Tuple[int, int] = (1024, 2048),
-    num_classes: int = 19,
+    num_classes: Optional[int] = None,
     mesh=None,
+    hist_reduce=None,
 ) -> float:
     """mIoU of generated street photos against trainId GT maps.
 
@@ -282,6 +318,11 @@ def get_miou(
         fast_hist,
         mean_iou,
     )
+
+    if num_classes is None:
+        # follow the judge: 19 for the reference DRN-D-105, smaller for
+        # synthetic-trained reduced judges (tools/train_synth_drn.py)
+        num_classes = model.classes
 
     @jax.jit
     def run(x01):
@@ -315,4 +356,8 @@ def get_miou(
         for j in range(pred.shape[0]):
             hist += fast_hist(pred[j].ravel(), np.asarray(labels[i + j]).ravel(),
                               num_classes)
+    if hist_reduce is not None:
+        # multi-host eval sharding: merge per-process confusion matrices
+        # (parallel.multihost.reduce_hist) before the IoU
+        hist = hist_reduce(hist)
     return round(mean_iou(hist), 2)

@@ -126,12 +126,32 @@ def get_fid(
     real_stats: Dict[str, np.ndarray],
     batch_size: int = 32,
     mesh=None,
+    moments_reduce=None,
 ) -> float:
     """FID of generated images ([-1,1] float NHWC) vs cached real statistics
-    ({'mu','sigma'} npz, produced by get_real_stat)."""
-    ims = tensor2im_batch(fakes)
-    act = get_activations(ims, model, variables, batch_size, mesh=mesh)
-    mu, sigma = compute_statistics(act)
+    ({'mu','sigma'} npz, produced by get_real_stat).
+
+    ``moments_reduce``: cross-process hook for multi-host eval sharding
+    (parallel.multihost.reduce_moments) — this process contributes the
+    additive moments (n, Σa, Σaaᵀ) of ITS activations, the hook returns the
+    global sums, and mu/sigma are recovered from them (identical to np.cov
+    over the concatenated activations, ddof=1).  ``fakes`` may be empty on
+    a process whose batch share was empty."""
+    if fakes.shape[0]:
+        ims = tensor2im_batch(fakes)
+        act = get_activations(ims, model, variables, batch_size, mesh=mesh)
+    else:
+        act = np.zeros((0, 0), np.float32)
+    if moments_reduce is None:
+        mu, sigma = compute_statistics(act)
+    else:
+        a64 = np.asarray(act, np.float64)
+        n = a64.shape[0]
+        s1 = a64.sum(axis=0) if n else None
+        s2 = a64.T @ a64 if n else None
+        n, s1, s2 = moments_reduce(n, s1, s2)
+        mu = s1 / n
+        sigma = (s2 - np.outer(s1, s1) / n) / (n - 1)
     return calculate_frechet_distance(
         mu, sigma, real_stats["mu"], real_stats["sigma"]
     )

@@ -92,6 +92,56 @@ def shard_host_batch(local_batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any
     return jax.tree.map(put, local_batch)
 
 
+def local_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over THIS process's devices only.
+
+    The evaluation sweep under multi-host (SURVEY §5.8) runs as independent
+    per-host programs: each host takes its share of the val batches, shards
+    them over its local chips, and the Fréchet / fast_hist reduction merges
+    host-side (``reduce_moments`` / ``reduce_hist``) — no global-program
+    lockstep, so hosts may process different batch counts."""
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
+def localize(tree: Any) -> Any:
+    """Fetch replicated global arrays to host numpy (fully-replicated
+    arrays are addressable on every process).  Feed the result to
+    parallel.mesh.replicate over ``local_mesh()`` for per-host eval."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
+
+
+def reduce_moments(n: int, s1, s2):
+    """Sum per-process activation moments (count, Σa, Σaaᵀ) across hosts.
+
+    Every process MUST call this exactly once per evaluation (it is a
+    cross-process collective).  Processes whose batch share was empty pass
+    ``s1=s2=None``; the feature dim is agreed via a first allgather."""
+    from jax.experimental import multihost_utils as mhu
+
+    d_local = 0 if s1 is None else int(s1.shape[0])
+    d = int(np.max(mhu.process_allgather(np.asarray(d_local, np.int64))))
+    if s1 is None:
+        s1 = np.zeros((d,), np.float64)
+        s2 = np.zeros((d, d), np.float64)
+    ns = mhu.process_allgather(np.asarray(n, np.int64))
+    s1g = np.asarray(mhu.process_allgather(np.asarray(s1, np.float64))).sum(0)
+    s2g = np.asarray(mhu.process_allgather(np.asarray(s2, np.float64))).sum(0)
+    return int(ns.sum()), s1g, s2g
+
+
+def reduce_hist(hist: np.ndarray) -> np.ndarray:
+    """Sum per-process confusion matrices across hosts (additive like the
+    Fréchet moments; reference fast_hist accumulation at
+    metric/mIoU_score.py:209-247)."""
+    from jax.experimental import multihost_utils as mhu
+
+    return np.asarray(
+        mhu.process_allgather(np.asarray(hist, np.int64))
+    ).sum(axis=0)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate host-identical values over a multi-host mesh.
 

@@ -107,6 +107,7 @@ class FIDEvaluator:
         teacher_generate: Optional[Callable] = None,
         input_key: str = "A",
         mesh=None,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         """``input_key``: batch key fed to ``generate``; None passes the whole
         batch dict (SPADE label+instance inputs).
@@ -115,11 +116,18 @@ class FIDEvaluator:
         generator inputs are padded to the data-axis size and batch-sharded
         (GSPMD partitions the forward; the params are already replicated on
         the mesh), and the InceptionV3 judge runs sharded the same way.
-        The Fréchet reduction stays host-side.  Single-process meshes only
-        (multi-host processes each run the sweep unsharded/identically).
+        The Fréchet reduction stays host-side.
+
+        ``process_shard=(index, count)``: multi-host eval sharding — this
+        process takes every count-th val batch (round-robin), ``mesh``
+        should be the process-LOCAL mesh (parallel.multihost.local_mesh),
+        and the Fréchet moments merge across hosts via
+        multihost.reduce_moments (a collective: every process calls the
+        evaluator in lockstep, as the Trainer's eval cadence guarantees).
         """
         self.input_key = input_key
         self.mesh = mesh
+        self.process_shard = process_shard
         self.generate = generate
         self.eval_loader = eval_loader
         self.inception_model = inception_model
@@ -138,7 +146,10 @@ class FIDEvaluator:
         save_dir = (
             os.path.join(self.log_dir, "eval", str(step)) if self.log_dir else None
         )
-        for batch in self.eval_loader:
+        for bi, batch in enumerate(self.eval_loader):
+            if self.process_shard is not None \
+                    and bi % self.process_shard[1] != self.process_shard[0]:
+                continue
             inp = batch[self.input_key] if self.input_key else batch
             if self.mesh is not None:
                 sharded, real_n = shard_eval_input(inp, self.mesh)
@@ -182,7 +193,13 @@ class FIDEvaluator:
             write_eval_index(save_dir, f"{self.name} eval @ step {step}")
         if self.inception_model is None or self.real_stats is None:
             return {}, {}
-        fakes = np.concatenate(fakes, axis=0)
+        moments_reduce = None
+        if self.process_shard is not None and self.process_shard[1] > 1:
+            from cat_tpu.parallel.multihost import reduce_moments
+
+            moments_reduce = reduce_moments
+        fakes = (np.concatenate(fakes, axis=0) if fakes
+                 else np.zeros((0, 1, 1, 3), np.float32))
         fid = get_fid(
             fakes,
             self.inception_model,
@@ -190,6 +207,7 @@ class FIDEvaluator:
             self.real_stats,
             batch_size=self.eval_batch_size,
             mesh=self.mesh,
+            moments_reduce=moments_reduce,
         )
         improved = self.tracker.update(fid)
         metrics = {
@@ -219,8 +237,10 @@ class MIoUEvaluator:
         batch_size: int = 2,
         name: str = "mIoU",
         mesh=None,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.mesh = mesh
+        self.process_shard = process_shard
         self.generate = generate
         self.eval_loader = eval_loader
         self.drn_model = drn_model
@@ -249,7 +269,10 @@ class MIoUEvaluator:
         from cat_tpu.metrics.drn import get_miou
 
         fakes, labels = [], []
-        for batch in self.eval_loader:
+        for bi, batch in enumerate(self.eval_loader):
+            if self.process_shard is not None \
+                    and bi % self.process_shard[1] != self.process_shard[0]:
+                continue
             inp = batch[self.input_key] if self.input_key else batch
             if self.mesh is not None:
                 sharded, real_n = shard_eval_input(inp, self.mesh)
@@ -264,13 +287,34 @@ class MIoUEvaluator:
                     continue
                 fakes.append(fake[j])
                 labels.append(np.asarray(Image.open(label_path)))
+        hist_reduce = None
+        if self.process_shard is not None and self.process_shard[1] > 1:
+            from cat_tpu.parallel.multihost import reduce_hist
+
+            hist_reduce = reduce_hist
         if not fakes:
+            if hist_reduce is not None:
+                # collective discipline: an empty batch share still joins
+                # the cross-process histogram merge
+                from cat_tpu.metrics.miou import mean_iou
+
+                n = self.drn_model.classes
+                hist = hist_reduce(np.zeros((n, n), np.int64))
+                miou = round(mean_iou(hist), 2)
+                improved = self.tracker.update(miou)
+                return (
+                    {f"metric/{self.name}": miou,
+                     f"metric/{self.name}-mean": self.tracker.mean,
+                     f"metric/{self.name}-best": self.tracker.best},
+                    {"is_best": improved},
+                )
             return {}, {}
         miou = get_miou(
             np.stack(fakes), labels, self.drn_model, self.drn_variables,
             batch_size=self.batch_size,
             target_hw=labels[0].shape[:2],
             mesh=self.mesh,
+            hist_reduce=hist_reduce,
         )
         improved = self.tracker.update(miou)
         metrics = {

@@ -9,7 +9,13 @@ mesh over both processes' devices, feeds each host its slice of the GLOBAL
 checkpoints from process 0 only.
 
 Invoked: python multihost_train_worker.py <coordinator> <nprocs> <pid>
-         <dataroot> <log_dir>
+         <dataroot> <log_dir> [<drn_path> <table_path> <cityscapes_path>]
+
+The optional trailing triple arms the mIoU judge (direction flips to BtoA
+and the dataroot must contain 'cityscapes'): the sharded multi-host eval
+path — per-host round-robin batches on the local mesh, localized
+generator state (entry._eval_state_fn), cross-host fast_hist merge —
+then runs inside the REAL train.py verb.
 """
 
 import os
@@ -18,6 +24,14 @@ import sys
 coordinator, num_procs, pid, dataroot, log_dir = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5]
 )
+miou_args = []
+if len(sys.argv) > 6:
+    miou_args = [
+        "--direction", "BtoA",
+        "--drn_path", sys.argv[6],
+        "--table_path", sys.argv[7],
+        "--cityscapes_path", sys.argv[8],
+    ]
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
@@ -54,6 +68,6 @@ train_main([
     "--save_epoch_freq", "1", "--save_latest_freq", "1000",
     "--print_freq", "1",
     "--inception_path", "/nonexistent.pth",
-])
+] + miou_args)
 assert jax.process_count() == num_procs, jax.process_count()
 print(f"TRAIN_DONE pid={jax.process_index()}", flush=True)

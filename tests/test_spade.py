@@ -149,10 +149,12 @@ def test_spade_distiller_mse_adaptors(rng):
     assert metrics["G_loss/distill"] >= 0
 
 
-def test_spade_shrink(rng):
-    cfg = tiny_cfg(8)
+def _shrunk_half(rng, ngf=8):
+    from tests.conftest import fast_init
+
+    cfg = tiny_cfg(ngf)
     gen = SPADEGenerator(cfg)
-    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, NC)))
+    variables = fast_init(gen, jnp.zeros((1, SIZE, SIZE, NC)))
     variables = jax.tree_util.tree_map_with_path(
         lambda path, x: (
             jnp.asarray(rng.uniform(0.05, 2.0, x.shape), jnp.float32)
@@ -163,6 +165,11 @@ def test_spade_shrink(rng):
     full = profile_spade_generator(cfg, SIZE, SIZE).macs
     res = shrink_spade_generator(cfg, variables, full * 0.5, SIZE, SIZE,
                                  PruneBounds(cin_lb=1))
+    return cfg, full, res
+
+
+def test_spade_shrink(rng):
+    cfg, full, res = _shrunk_half(rng)
     assert res.searched_macs <= full * 0.5
     assert res.config.fc_channels % 16 == 0
     # fin/fout follow the trunk
@@ -170,11 +177,27 @@ def test_spade_shrink(rng):
     up_blocks = [b for n, b in zip(res.config.block_names, res.config.blocks)
                  if n.startswith("up")]
     assert up_blocks[0].fout == up_blocks[0].fin // 2
-    # the pruned architecture builds and runs
+    # the pruned architecture builds (traced shapes consistent end to end;
+    # pruning bugs surface as ScopeParamShapeError here).  The slow twin
+    # below actually executes it.
+    from tests.conftest import fast_init
+
+    student = SPADEGenerator(res.config)
+    sv = fast_init(student, jnp.zeros((1, SIZE, SIZE, NC)), seed=1)
+    y = jax.eval_shape(student.apply, sv, jnp.zeros((2, SIZE, SIZE, NC)))
+    assert y.shape == (2, SIZE, SIZE, 3)
+
+
+@pytest.mark.slow
+def test_spade_shrink_executes(rng):
+    """Full-fidelity twin: the pruned student really initialises (flax
+    threefry stream) and runs forward."""
+    _, _, res = _shrunk_half(rng)
     student = SPADEGenerator(res.config)
     sv = student.init(jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, NC)))
     y = student.apply(sv, jnp.zeros((2, SIZE, SIZE, NC)))
     assert y.shape == (2, SIZE, SIZE, 3)
+    assert bool(jnp.isfinite(y).all())
 
 
 @pytest.mark.slow
@@ -222,9 +245,11 @@ def test_spade_distill_cli_prune_only(tmp_path):
 
 
 def test_spade_gamma_collection():
+    from tests.conftest import fast_init
+
     cfg = tiny_cfg(4)
     gen = SPADEGenerator(cfg)
-    variables = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, NC)))
+    variables = fast_init(gen, jnp.zeros((1, SIZE, SIZE, NC)))
     g = collect_spade_gammas(variables["params"], cfg)
     assert g.fc.shape == (cfg.fc_channels,)
     assert len(g.blocks) == len(cfg.blocks)

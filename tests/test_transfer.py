@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
 from cat_tpu.compress.transfer import _topk_desc, transfer_generator_params
@@ -118,9 +119,14 @@ def spade_cfg(ngf):
 
 
 def _spade_init(cfg, seed=0):
-    return SPADEGenerator(cfg).init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
-    )
+    # zero-XLA init (tests/conftest.fast_init): transfer only needs valid
+    # magnitudes, not the threefry stream — the SPADE generator's flax init
+    # is the compile-bound part of this file (~40s per distinct config on
+    # the 1-core host)
+    from tests.conftest import fast_init
+
+    return fast_init(SPADEGenerator(cfg),
+                     jnp.zeros((1, S_SIZE, S_SIZE, S_NC)), seed=seed)
 
 
 def test_spade_transfer_shapes_and_forward():
@@ -133,12 +139,31 @@ def test_spade_transfer_shapes_and_forward():
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, dst_params)
     assert ref_shapes == got_shapes
 
-    # forward runs with transferred params (fresh batch_stats)
+    # forward traces with transferred params (fresh batch_stats); the slow
+    # twin below executes it for real
     variables = {**ref_vars, "params": dst_params}
+    y = jax.eval_shape(SPADEGenerator(dst_cfg).apply, variables,
+                       jnp.zeros((2, S_SIZE, S_SIZE, S_NC)))
+    assert y.shape == (2, S_SIZE, S_SIZE, 3)
+
+
+@pytest.mark.slow
+def test_spade_transfer_forward_executes():
+    """Full-fidelity twin: transferred SPADE params really run forward."""
+    src_cfg, dst_cfg = spade_cfg(4), spade_cfg(2)
+    src = SPADEGenerator(src_cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
+    )["params"]
+    dst_params = transfer_spade_generator_params(src, src_cfg, dst_cfg)
+    ref_vars = SPADEGenerator(dst_cfg).init(
+        jax.random.PRNGKey(1), jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
+    )
     y = SPADEGenerator(dst_cfg).apply(
-        variables, jnp.zeros((2, S_SIZE, S_SIZE, S_NC))
+        {**ref_vars, "params": dst_params},
+        jnp.zeros((2, S_SIZE, S_SIZE, S_NC))
     )
     assert y.shape == (2, S_SIZE, S_SIZE, 3)
+    assert bool(jnp.isfinite(y).all())
 
 
 def test_spade_transfer_value_semantics():
@@ -250,9 +275,9 @@ def test_spade_transfer_matches_branches_by_index():
     # a 3x3 kernel transferred into the 5x5 dw2_mid slot)
     b0 = src_cfg.block_names[0]
     assert np.asarray(sp[b0]["dw2_mid"]["conv"]["kernel"]).shape[:2] == (5, 5)
-    y = SPADEGenerator(dst_cfg).apply(
-        {**sv, "params": sp}, jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
-    )
+    y = jax.eval_shape(SPADEGenerator(dst_cfg).apply,
+                       {**sv, "params": sp},
+                       jnp.zeros((1, S_SIZE, S_SIZE, S_NC)))
     assert y.shape == (1, S_SIZE, S_SIZE, 3)
 
 
@@ -276,7 +301,7 @@ def test_spade_transfer_into_pruned_student():
     ref_shapes = jax.tree.map(lambda x: x.shape, sv["params"])
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, sp)
     assert ref_shapes == got_shapes
-    y = SPADEGenerator(res.config).apply(
-        {**sv, "params": sp}, jnp.zeros((1, S_SIZE, S_SIZE, S_NC))
-    )
+    y = jax.eval_shape(SPADEGenerator(res.config).apply,
+                       {**sv, "params": sp},
+                       jnp.zeros((1, S_SIZE, S_SIZE, S_NC)))
     assert y.shape == (1, S_SIZE, S_SIZE, 3)
