@@ -87,13 +87,14 @@ def _load_module(fname):
     return mod
 
 
-def _sweep(fwd_t, fwd_s, make_x, batches, family, iters):
-    """Time teacher + student at each batch; return summary dict."""
+def _sweep(fwd_t, fwd_s, make_x, batches, family, iters, extra=()):
+    """Time teacher + student (+ extra (tag, fwd) rows, e.g. the exported
+    StableHLO artifact) at each batch; return summary dict."""
     rows = {}
     for b in batches:
         x = make_x(b)
         jax.block_until_ready(x)
-        for tag, fwd in (("teacher", fwd_t), ("student", fwd_s)):
+        for tag, fwd in (("teacher", fwd_t), ("student", fwd_s), *extra):
             n = max(iters, 20) if b == 1 else iters
             dt = timed(lambda fwd=fwd, x=x: fwd(x),
                        f"infer/{family}_{tag} b{b}", imgs=b, iters=n)
@@ -116,8 +117,35 @@ def _sweep(fwd_t, fwd_s, make_x, batches, family, iters):
         "throughput_speedup": round(s_thru / t_thru, 2),
         "batch": bmax,
     }
+    a_b1 = rows.get(("artifact", 1))
+    if a_b1 is not None:
+        # the deployment contract is the EXPORTED StableHLO student, not
+        # the in-framework jit — prove the artifact hits the same numbers
+        # (reference ships the ONNX export, onnx_exporter.py:134-163)
+        summary["artifact_b1_ms"] = round(a_b1 * 1e3, 3)
+    if ("artifact", bmax) in rows:
+        summary["artifact_img_per_s"] = round(bmax / rows[("artifact", bmax)], 1)
     print(json.dumps(summary), flush=True)
     return summary
+
+
+def _artifact_forward(student_cfg, variables, h, w, family):
+    """Round-trip the student through the shipped StableHLO export and
+    return a timed forward over the deserialized artifact."""
+    import jax.numpy as jnp
+
+    from cat_tpu.export import export_stablehlo, load_stablehlo
+
+    path = os.path.join("/tmp", f"infer_bench_{family}_student.stablehlo")
+    export_stablehlo(student_cfg, variables, h, w, path)
+    exported = load_stablehlo(path)
+
+    @jax.jit
+    def fwd(x):
+        # the artifact's signature is float32 (the export contract)
+        return exported.call(jnp.asarray(x, jnp.float32))
+
+    return fwd
 
 
 def run_inception(batches, iters):
@@ -147,7 +175,13 @@ def run_inception(batches, iters):
 
     log(f"inception: student {res.searched_macs:,} MACs; sweeping "
         f"batches {batches}")
-    return _sweep(fwd_t, fwd_s, make_x, batches, "inception", iters)
+    art = _artifact_forward(
+        res.config,
+        {"params": state.g.params["G"], "batch_stats": state.g.stats},
+        256, 256, "inception",
+    )
+    return _sweep(fwd_t, fwd_s, make_x, batches, "inception", iters,
+                  extra=(("artifact", art),))
 
 
 def run_spade(batches, iters):
@@ -187,7 +221,13 @@ def run_spade(batches, iters):
 
     log(f"spade: student {res.searched_macs:,} MACs; sweeping "
         f"batches {batches}")
-    return _sweep(fwd_t, fwd_s, make_x, batches, "spade", iters)
+    art = _artifact_forward(
+        dist.student_cfg,
+        {"params": state.g.params["G"], **state.g.stats},
+        args.width // 2, args.width, "spade",
+    )
+    return _sweep(fwd_t, fwd_s, make_x, batches, "spade", iters,
+                  extra=(("artifact", art),))
 
 
 def main():
