@@ -45,6 +45,11 @@ def base_arguments(parser: argparse.ArgumentParser):
                    help="rematerialise generator forwards inside the train "
                         "step (jax.checkpoint): ~1/3 more generator FLOPs "
                         "for a large activation-memory cut")
+    p.add_argument("--remat_policy", type=str, default="",
+                   help="SELECTIVE remat: a jax.checkpoint_policies name "
+                        "(e.g. dots_with_no_batch_dims_saveable) applied "
+                        "when --remat 1 — keeps the cheap-to-store values "
+                        "and recomputes only the rest (SPADE distiller)")
     p.add_argument("--packed_blocks", type=int, default=None, choices=[0, 1],
                    help="evaluate multi-branch blocks with branch-packed "
                         "convs (identical math and parameter tree). Default "
@@ -157,6 +162,14 @@ def train_arguments(parser: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="train/distill-step compute dtype (f32 master "
                         "weights; bfloat16 runs convs single-pass on the MXU)")
+    p.add_argument("--teacher_compute_dtype", type=str, default="",
+                   choices=["", "int8"],
+                   help="frozen-teacher compute override (inception "
+                        "distiller): int8 runs the teacher forward with "
+                        "dynamic int8 convolutions (per-channel weight "
+                        "scales, int32 MXU accumulation, dequantised f32 "
+                        "KA taps — ops/quant.py); '' follows "
+                        "--compute_dtype")
     p.add_argument("--vgg_compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="dtype of the VGG19 perceptual sweep (SPADE family). "

@@ -57,6 +57,13 @@ class DistillHParams:
     # halves activation HBM traffic; master weights, Adam moments, norm
     # statistics and losses stay f32
     compute_dtype: str = "float32"
+    # frozen-teacher compute override: '' follows compute_dtype; 'int8'
+    # executes the teacher forward with dynamic int8 convolutions
+    # (ops/quant.int8_call — per-channel weight scales, per-tensor dynamic
+    # activation scales, int32 MXU accumulation, dequantised f32 taps for
+    # the KA loss).  The teacher is inference-only and ~48% of the step;
+    # the v5e MXU doubles peak at int8.  Measured verdict in PARITY.md.
+    teacher_compute_dtype: str = ""
     # route affine instance-norm+relu through the single-pass Pallas kernel
     fused_norms: bool = False
     # evaluate inception blocks with branch-packed convolutions (identical
@@ -235,14 +242,26 @@ class InceptionDistiller:
         rng, r_drop, r_gp = jax.random.split(state.rng, 3)
 
         # --- teacher forward: frozen, eval mode ---
-        (t_fake, t_acts), _ = apply_net(
-            self.netG_teacher,
-            down(teacher_variables["params"]),
-            teacher_variables.get("batch_stats", {}),
-            real_A,
-            train=False,
-            taps=taps,
-        )
+        if hp.teacher_compute_dtype == "int8":
+            from cat_tpu.ops.quant import int8_call
+
+            (t_fake, t_acts), _ = int8_call(
+                lambda p, x: apply_net(
+                    self.netG_teacher, p,
+                    teacher_variables.get("batch_stats", {}),
+                    x, train=False, taps=taps,
+                ),
+                teacher_variables["params"], up(real_A),
+            )
+        else:
+            (t_fake, t_acts), _ = apply_net(
+                self.netG_teacher,
+                down(teacher_variables["params"]),
+                teacher_variables.get("batch_stats", {}),
+                real_A,
+                train=False,
+                taps=taps,
+            )
         t_fake = jax.lax.stop_gradient(up(t_fake))
         # KA streams activations in the compute dtype: bf16xbf16->f32 MXU
         # products equal upcast-then-multiply exactly, at half the HBM

@@ -72,6 +72,12 @@ class SPADEDistillHParams:
     # rematerialise the student forward (jax.checkpoint): activation memory
     # for FLOPs — needed to reach the reference's 512x256 GauGAN crops
     remat: bool = False
+    # selective rematerialisation: name of a jax.checkpoint_policies policy
+    # (e.g. 'dots_with_no_batch_dims_saveable') applied when remat is on —
+    # saves the cheap-to-store values and recomputes only the rest, a
+    # middle ground between full remat's recompute cost and no-remat's
+    # activation footprint (lets b48 fit where plain no-remat exceeds HBM)
+    remat_policy: str = ""
     # exponential moving average of the student-G weights
     # (--moving_average_decay; the reference declares the flag but never
     # reads it — see inception_distiller.DistillHParams.ema_decay).  0 = off.
@@ -274,8 +280,10 @@ class SPADEDistiller:
             return self._apply(self.netG_student, params, stats, sem,
                                train=True, taps=taps)
 
-        if hp.remat:  # store inputs only; recompute the forward in the vjp
-            s_fwd = jax.checkpoint(s_fwd)
+        if hp.remat:  # recompute the student forward in the vjp
+            policy = (getattr(jax.checkpoint_policies, hp.remat_policy)
+                      if hp.remat_policy else None)
+            s_fwd = jax.checkpoint(s_fwd, policy=policy)
 
         def g_loss_fn(g_group):
             (fake, s_acts), g_stats = s_fwd(

@@ -683,6 +683,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         init_type=opt.init_type,
         init_gain=opt.init_gain,
         remat=bool(getattr(opt, "remat", 0)),
+        remat_policy=getattr(opt, "remat_policy", "") or "",
         ema_decay=_ema_decay(opt),
     )
     # D follows the CLI flags exactly as on the teacher-training path —
@@ -861,6 +862,7 @@ def setup_distill_inception(opt) -> Tuple[Optional[Trainer], Any]:
         init_gain=opt.init_gain,
         mapping_layers=mapping,
         compute_dtype=opt.compute_dtype,
+        teacher_compute_dtype=getattr(opt, "teacher_compute_dtype", "") or "",
         fused_norms=opt.fused_norms,
         packed_blocks=_packed(opt, True),
         remat=bool(getattr(opt, "remat", 0)),

@@ -60,7 +60,8 @@ def capture(out_dir: str, steps: int) -> None:
     print("[profile] trace captured", file=sys.stderr)
 
 
-def capture_spade(out_dir: str, steps: int, batch: int) -> None:
+def capture_spade(out_dir: str, steps: int, batch: int,
+                  remat: bool = True) -> None:
     """Trace the GauGAN flagship step (the 5p6B reference recipe scale that
     tools/spade_perf.py times): teacher ngf64 + student ngf48 shrunk to
     5.6e9 MACs, 512x256, hinge+feat+VGG(bf16), packed SPADE blocks, remat."""
@@ -75,7 +76,7 @@ def capture_spade(out_dir: str, steps: int, batch: int) -> None:
     sp.log = lambda m: print(f"[profile] {m}", file=sys.stderr, flush=True)
     args = _ap.Namespace(
         batch=batch, width=512, target_flops=5.6e9, dtype="bfloat16",
-        vgg_dtype="bfloat16", packed=True, remat=True, vgg=True,
+        vgg_dtype="bfloat16", packed=True, remat=remat, vgg=True,
         ups="more",  # reference SPADE default (spade_model.py:33-38)
     )
     dist, state, teacher_vars, res = sp.build(args)
@@ -225,13 +226,17 @@ def main():
                     help="trace the GauGAN 512x256 flagship step instead")
     ap.add_argument("--batch", type=int, default=16,
                     help="per-chip batch for --spade")
+    ap.add_argument("--remat", type=int, default=1,
+                    help="--spade remat toggle (0 = the pinned b32 no-remat "
+                         "shipped config)")
     args = ap.parse_args()
     if args.parse:
         parse(args.parse, args.top)
         parse_categories(args.parse, args.top)
         return
     if args.spade:
-        capture_spade(args.out, args.steps, args.batch)
+        capture_spade(args.out, args.steps, args.batch,
+                      remat=bool(args.remat))
         parse(args.out, args.top)
         parse_categories(args.out, args.top)
         return

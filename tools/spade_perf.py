@@ -109,6 +109,7 @@ def build(args):
         vgg_compute_dtype=args.vgg_dtype,
         packed_blocks=args.packed,
         remat=args.remat,
+        remat_policy=getattr(args, "remat_policy", "") or "",
     )
     dist = SPADEDistiller(teacher_cfg, res.config, hp=hp,
                           vgg_variables=vgg_variables)
@@ -209,6 +210,10 @@ def main():
                          "since round 4 — entry.py _packed(opt, True))")
     ap.add_argument("--no-packed", dest="packed", action="store_false")
     ap.add_argument("--no-remat", dest="remat", action="store_false")
+    ap.add_argument("--remat-policy", dest="remat_policy", default="",
+                    help="jax.checkpoint_policies name for SELECTIVE remat "
+                         "(e.g. dots_with_no_batch_dims_saveable); only "
+                         "meaningful with remat on")
     ap.add_argument("--no-vgg", dest="vgg", action="store_false")
     ap.add_argument("--components", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
