@@ -10,6 +10,14 @@ int8 convs instead of hitting the int8 systolic path, the whole lever is
 dead on this compiler and the negative result gets documented in
 PARITY.md with these numbers.
 
+Timing method: the op is CHAINED ``iters`` times inside ONE jitted
+program via lax.fori_loop (carry = the activation, cast back to the
+operand dtype each step) and the program returns a scalar mean, so one
+``float(...)`` fetch is a full device sync.  Per-op ms = program time /
+iters.  Anything async-dispatch based (block_until_ready on non-scalar
+futures) reads hollow over the axon tunnel — the first version of this
+probe measured 11,000 "TOPS" that way.
+
 Usage: python tools/int8_probe.py  (on the attached TPU chip)
 Prints one JSON line per measurement.
 """
@@ -29,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import cat_tpu  # noqa: F401  (persistent compile cache)
 
 _T0 = time.perf_counter()
+ITERS = int(os.environ.get("PROBE_ITERS", "50"))
 
 
 def log(msg):
@@ -36,37 +45,60 @@ def log(msg):
           file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=20, warmup=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
-def conv_fn(dtype, acc):
+def conv_chain(dtype, acc):
     @jax.jit
     def f(x, k):
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype), k.astype(dtype),
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=acc,
-        )
+        xq = x.astype(dtype)
+        kq = k.astype(dtype)
+
+        def body(_, carry):
+            y = jax.lax.conv_general_dilated(
+                carry, kq, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=acc,
+            )
+            # scale down so float chains don't overflow to inf; int chains
+            # wrap, which is fine for timing.  The cast keeps the carry in
+            # the operand dtype so every iteration times the SAME op.
+            if jnp.issubdtype(dtype, jnp.floating):
+                y = y * jnp.asarray(1.0 / 48.0, acc)
+            return y.astype(dtype)
+
+        out = jax.lax.fori_loop(0, ITERS, body, xq)
+        return out.astype(jnp.float32).mean()
+
     return f
 
 
-def dot_fn(dtype, acc):
+def dot_chain(dtype, acc):
     @jax.jit
     def f(a, b):
-        return jax.lax.dot(a.astype(dtype), b.astype(dtype),
-                           preferred_element_type=acc)
+        aq = a.astype(dtype)
+        bq = b.astype(dtype)
+
+        def body(_, carry):
+            y = jax.lax.dot(carry, bq, preferred_element_type=acc)
+            if jnp.issubdtype(dtype, jnp.floating):
+                y = y * jnp.asarray(1e-2, acc)
+            return y.astype(dtype)
+
+        out = jax.lax.fori_loop(0, ITERS, body, aq)
+        return out.astype(jnp.float32).mean()
+
     return f
+
+
+@jax.jit
+def _probe(x):
+    return x.astype(jnp.float32).mean()
+
+
+def timed_chain(f, *args):
+    # compile + one run
+    float(f(*args))
+    t0 = time.perf_counter()
+    float(f(*args))
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main():
@@ -76,10 +108,12 @@ def main():
     gen = jax.jit(lambda key: (
         jax.random.normal(key, (B, H, W, C), jnp.float32),
         jax.random.normal(jax.random.fold_in(key, 1), (3, 3, C, C),
-                          jnp.float32),
+                          jnp.float32) * 0.01,
     ))
+    log("dispatching operand gen")
     x, k = gen(np.array([0, 5], np.uint32))
-    jax.block_until_ready((x, k))
+    log("gen dispatched; syncing")
+    float(_probe(x))  # jitted scalar sync — eager dispatches stall the tunnel
     log("conv operands resident")
 
     for name, dtype, acc in (
@@ -88,35 +122,38 @@ def main():
         ("conv_int8", jnp.int8, jnp.int32),
     ):
         try:
-            dt = timed(conv_fn(dtype, acc), x, k)
+            dt = timed_chain(conv_chain(dtype, acc), x, k)
             tops = macs_conv * 2 / dt / 1e12
             print(json.dumps({"name": name, "ms": round(dt * 1e3, 3),
                               "TOPS": round(tops, 2)}), flush=True)
         except Exception as e:
             print(json.dumps({"name": name, "error": repr(e)[:200]}),
                   flush=True)
+        log(f"{name} done")
 
     # big matmul: the clean MXU-rate probe (8192^2 x 8192)
     M = 8192
     gen2 = jax.jit(lambda key: (
-        jax.random.normal(key, (M, M), jnp.float32),
-        jax.random.normal(jax.random.fold_in(key, 1), (M, M), jnp.float32),
+        jax.random.normal(key, (M, M), jnp.float32) * 0.01,
+        jax.random.normal(jax.random.fold_in(key, 1), (M, M), jnp.float32)
+        * 0.01,
     ))
     a, b = gen2(np.array([0, 6], np.uint32))
-    jax.block_until_ready((a, b))
+    float(_probe(a))
     log("matmul operands resident")
     for name, dtype, acc in (
         ("dot_bf16", jnp.bfloat16, jnp.float32),
         ("dot_int8", jnp.int8, jnp.int32),
     ):
         try:
-            dt = timed(dot_fn(dtype, acc), a, b, iters=10)
+            dt = timed_chain(dot_chain(dtype, acc), a, b)
             tops = 2 * M**3 / dt / 1e12
             print(json.dumps({"name": name, "ms": round(dt * 1e3, 3),
                               "TOPS": round(tops, 2)}), flush=True)
         except Exception as e:
             print(json.dumps({"name": name, "error": repr(e)[:200]}),
                   flush=True)
+        log(f"{name} done")
 
 
 if __name__ == "__main__":
