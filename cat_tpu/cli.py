@@ -164,8 +164,8 @@ def train_arguments(parser: argparse.ArgumentParser):
                         "weights; bfloat16 runs convs single-pass on the MXU)")
     p.add_argument("--teacher_compute_dtype", type=str, default="",
                    choices=["", "int8"],
-                   help="frozen-teacher compute override (inception "
-                        "distiller): int8 runs the teacher forward with "
+                   help="frozen-teacher compute override (inception + SPADE "
+                        "distillers): int8 runs the teacher forward with "
                         "dynamic int8 convolutions (per-channel weight "
                         "scales, int32 MXU accumulation, dequantised f32 "
                         "KA taps — ops/quant.py); '' follows "

@@ -82,6 +82,11 @@ class SPADEDistillHParams:
     # (--moving_average_decay; the reference declares the flag but never
     # reads it — see inception_distiller.DistillHParams.ema_decay).  0 = off.
     ema_decay: float = 0.0
+    # frozen-teacher compute override: '' follows compute_dtype; 'int8'
+    # executes the teacher forward with dynamic int8 convolutions
+    # (ops/quant.int8_call) — same lever as the inception family
+    # (inception_distiller.DistillHParams.teacher_compute_dtype)
+    teacher_compute_dtype: str = ""
 
 
 class _Adaptor(nn.Module):
@@ -268,10 +273,19 @@ class SPADEDistiller:
         taps = hp.mapping_layers
 
         t_stats = {k: v for k, v in teacher_variables.items() if k != "params"}
-        (t_fake, t_acts), _ = self._apply(
-            self.netG_teacher, down(teacher_variables["params"]), t_stats, sem,
-            train=False, taps=taps,
-        )
+        if hp.teacher_compute_dtype == "int8":
+            from cat_tpu.ops.quant import int8_call
+
+            (t_fake, t_acts), _ = int8_call(
+                lambda p, s: self._apply(self.netG_teacher, p, t_stats, s,
+                                         train=False, taps=taps),
+                teacher_variables["params"], up(sem),
+            )
+        else:
+            (t_fake, t_acts), _ = self._apply(
+                self.netG_teacher, down(teacher_variables["params"]), t_stats,
+                sem, train=False, taps=taps,
+            )
         t_fake = jax.lax.stop_gradient(up(t_fake))
         t_acts = jax.lax.stop_gradient(up(t_acts))
 

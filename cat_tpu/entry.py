@@ -685,6 +685,7 @@ def setup_distill_spade(opt) -> Tuple[Optional[Trainer], Any]:
         remat=bool(getattr(opt, "remat", 0)),
         remat_policy=getattr(opt, "remat_policy", "") or "",
         ema_decay=_ema_decay(opt),
+        teacher_compute_dtype=getattr(opt, "teacher_compute_dtype", "") or "",
     )
     # D follows the CLI flags exactly as on the teacher-training path —
     # otherwise --restore_D_path (teacher's D) can't load into the distiller

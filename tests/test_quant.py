@@ -7,6 +7,7 @@ with --teacher_compute_dtype int8 must train.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from cat_tpu.core.config import InceptionGeneratorConfig, NormConfig
@@ -64,6 +65,50 @@ def test_int8_call_generator_taps_close():
         assert r < 0.15, (k, r)
 
 
+@pytest.mark.slow
+def test_spade_distill_step_with_int8_teacher():
+    from cat_tpu.core.spade_config import (
+        MultiscaleDiscriminatorConfig,
+        SPADEGeneratorConfig,
+    )
+    from cat_tpu.distill.spade_distiller import (
+        SPADEDistillHParams,
+        SPADEDistiller,
+    )
+    from cat_tpu.train.spade_model import preprocess_input
+
+    size, nc = 32, 5
+
+    def cfg(ngf):
+        return SPADEGeneratorConfig.make(
+            semantic_nc=nc, ngf=ngf, channels=None,
+            channels_reduction_factor=4, kernel_sizes=(1, 3),
+            num_upsampling_layers="normal", crop_size=size,
+            aspect_ratio=1.0, nhidden=16,
+        )
+
+    hp = SPADEDistillHParams(distill_loss_type="ka", lambda_vgg=0.0,
+                             mapping_layers=("head_0", "up_1"),
+                             teacher_compute_dtype="int8")
+    dist = SPADEDistiller(cfg(8), cfg(4),
+                          MultiscaleDiscriminatorConfig(input_nc=nc + 3,
+                                                        ndf=4, n_layers=3,
+                                                        num_D=2),
+                          hp)
+    tv = dist.netG_teacher.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, size, size, nc)))
+    state, tv = dist.init_state(jax.random.PRNGKey(0), size, size, tv)
+    rng = np.random.RandomState(2)
+    label = rng.randint(0, nc, size=(2, size, size)).astype(np.float32)
+    batch = {
+        "semantics": preprocess_input(jnp.asarray(label), None, nc),
+        "image": jnp.asarray(rng.randn(2, size, size, 3), jnp.float32),
+    }
+    state, metrics = dist.train_step(state, tv, batch, 2e-4)
+    assert all(bool(jnp.isfinite(v)) for v in jax.tree.leaves(metrics))
+    assert "Specific_loss/distill0" in metrics
+
+
 def test_distill_step_with_int8_teacher():
     from cat_tpu.distill.inception_distiller import (
         DistillHParams,
@@ -73,10 +118,14 @@ def test_distill_step_with_int8_teacher():
     size = 32
     hp = DistillHParams(
         dataset_mode="unaligned", gan_mode="lsgan", distill_loss_type="ka",
-        lambda_recon=5.0, mapping_layers=("encode", "block1"),
+        lambda_recon=5.0, mapping_layers=("encode",),
         teacher_compute_dtype="int8",
     )
-    dist = InceptionDistiller(tiny_cfg(8), tiny_cfg(4), hp=hp)
+    # single block / single tap: the int8 jaxpr interpreter re-emits every
+    # teacher equation, so compile time scales with teacher depth — this is
+    # a wiring test, taps numerics are covered above
+    dist = InceptionDistiller(tiny_cfg(8, blocks=1), tiny_cfg(4, blocks=1),
+                              hp=hp)
     teacher_vars = dist.netG_teacher.init(
         jax.random.PRNGKey(7), jnp.zeros((1, size, size, 3)))
     state, teacher_vars = dist.init_state(

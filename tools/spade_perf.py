@@ -110,6 +110,7 @@ def build(args):
         packed_blocks=args.packed,
         remat=args.remat,
         remat_policy=getattr(args, "remat_policy", "") or "",
+        teacher_compute_dtype=getattr(args, "teacher_dtype", "") or "",
     )
     dist = SPADEDistiller(teacher_cfg, res.config, hp=hp,
                           vgg_variables=vgg_variables)
@@ -214,6 +215,9 @@ def main():
                     help="jax.checkpoint_policies name for SELECTIVE remat "
                          "(e.g. dots_with_no_batch_dims_saveable); only "
                          "meaningful with remat on")
+    ap.add_argument("--teacher-dtype", dest="teacher_dtype", default="",
+                    help="frozen-teacher compute override ('int8' = dynamic "
+                         "int8 convs, ops/quant.py)")
     ap.add_argument("--no-vgg", dest="vgg", action="store_false")
     ap.add_argument("--components", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
