@@ -65,8 +65,7 @@ def test_determinism_per_key():
     assert np.allclose(a["A"], b["A"]) and np.allclose(a["B"], b["B"])
 
 
-def test_from_unaligned_and_distill_step(tmp_path):
-    """End to end: image dir -> HBM bank -> sampled batch -> distill step."""
+def _image_dirs(tmp_path):
     from PIL import Image
 
     for side in ("trainA", "trainB"):
@@ -77,6 +76,27 @@ def test_from_unaligned_and_distill_step(tmp_path):
             Image.fromarray(
                 rs.randint(0, 256, (40, 40, 3), dtype=np.uint8)
             ).save(d / f"{i}.png")
+
+
+def test_from_unaligned_bank(tmp_path):
+    """Image dir -> HBM bank -> sampled batch (the slow twin below feeds
+    the batch through a full distill step)."""
+    _image_dirs(tmp_path)
+    dd, n = DeviceData.from_unaligned(str(tmp_path), "train", load_size=36,
+                                      crop_size=32)
+    assert n == 4
+    batch = dd.sample(jax.random.PRNGKey(0), 2)
+    assert batch["A"].shape == (2, 32, 32, 3)
+    assert batch["B"].shape == (2, 32, 32, 3)
+    for k in ("A", "B"):
+        v = np.asarray(batch[k])
+        assert v.min() >= -1.0 - 1e-6 and v.max() <= 1.0 + 1e-6
+
+
+@pytest.mark.slow
+def test_from_unaligned_and_distill_step(tmp_path):
+    """End to end: image dir -> HBM bank -> sampled batch -> distill step."""
+    _image_dirs(tmp_path)
 
     # crop >= 32: the ndf-64 3-layer patch discriminator reduces 16px
     # inputs to zero spatial output (empty-mean NaN), as the reference's

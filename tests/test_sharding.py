@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cat_tpu.core.config import InceptionGeneratorConfig, NLayerDiscriminatorConfig, NormConfig
 from cat_tpu.distill.inception_distiller import DistillHParams, InceptionDistiller
@@ -28,8 +29,14 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow
 def test_pix2pix_sharded_step_matches_single_device(rng):
-    """The GSPMD step over a sharded batch reproduces single-device math."""
+    """The GSPMD step over a sharded batch reproduces single-device math.
+
+    Slow lane: compiles the full step twice; the driver gate
+    (__graft_entry__.dryrun_multichip) executes the same dp sharding every
+    round, and the core lane keeps the sync-BN variant below (the one with
+    cross-device numerics GSPMD alone doesn't guarantee)."""
     task = Pix2PixTask(tiny_gen(), NLayerDiscriminatorConfig(input_nc=6, ndf=4))
     state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
     batch = {
@@ -90,8 +97,10 @@ def test_distiller_sharded_step_with_syncbatchnorm(rng):
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_spatial_sharding(rng):
     """(data=4, spatial=2) mesh: image height sharded across devices.
+    Slow lane: the dp x sp gate pass covers execution every round.
 
     GSPMD inserts the convolution halo exchanges and makes the
     instance-norm spatial reductions cross-device; the step must reproduce

@@ -31,8 +31,12 @@ def tiny_cfg(norm=None):
 
 
 def init_gen(cfg, seed=0, size=32):
+    # zero-XLA init (conftest.fast_init): shrink only reads shapes and the
+    # norm scales (randomized below); the threefry stream is irrelevant here
+    from tests.conftest import fast_init
+
     model = InceptionGenerator(cfg)
-    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)))
+    variables = fast_init(model, jnp.zeros((1, size, size, 3)), seed=seed)
     return model, variables
 
 
@@ -103,8 +107,10 @@ def test_shrink_end_to_end():
     # student is meaningfully smaller but alive
     assert res.config.ds_channels[-1] >= 2
     # sliced params load into a freshly-built student: structure must match
+    from tests.conftest import fast_init
+
     model = InceptionGenerator(res.config)
-    ref_vars = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ref_vars = fast_init(model, jnp.zeros((1, 32, 32, 3)))
     ref_shapes = jax.tree.map(lambda x: x.shape, ref_vars["params"])
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, res.variables["params"])
     assert ref_shapes == got_shapes
@@ -148,8 +154,10 @@ def test_shrink_batchnorm_slices_batch_stats():
     full = profile_generator(cfg, 32, 32).macs
     res = shrink_generator(cfg, variables, full * 0.6, 32, 32)
     assert "batch_stats" in res.variables
+    from tests.conftest import fast_init
+
     model = InceptionGenerator(res.config)
-    ref_vars = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ref_vars = fast_init(model, jnp.zeros((1, 32, 32, 3)))
     ref_shapes = jax.tree.map(lambda x: x.shape, ref_vars["batch_stats"])
     got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, res.variables["batch_stats"])
     assert ref_shapes == got_shapes

@@ -102,7 +102,10 @@ def test_block_packed_shortcut(rng):
         rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_generator_packed_parity(rng):
+    # slow lane: block-level parity above carries the math guarantee;
+    # this is the whole-generator integration twin
     cfg = SPADEGeneratorConfig.make(
         semantic_nc=NC, ngf=4, channels=None, channels_reduction_factor=4,
         kernel_sizes=(1, 3), num_upsampling_layers="normal",

@@ -1,5 +1,7 @@
 """Smoke + semantics tests for the jitted GAN train steps."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,18 +151,25 @@ def test_image_pool_semantics():
         buffered = set(float(x) for x in np.asarray(pool2.buffer)[:, 0, 0, 0]) | buffered
 
 
-def test_wgangp_steps(rng):
+def test_wgangp_step_pix2pix(rng):
     """--gan_mode wgangp trains WITH the Lipschitz gradient penalty in the
     D update (the reference implements cal_gradient_penalty but never calls
-    it — an unconstrained wgangp critic diverges).  One step per family:
-    the gp term must be computed, finite, positive, and load-bearing."""
+    it — an unconstrained wgangp critic diverges).  Core lane: one family;
+    the slow twin below covers cyclegan + the bf16 distiller."""
     batch = fake_batch(rng)
-
     task = Pix2PixTask(tiny_gen(), NLayerDiscriminatorConfig(input_nc=6, ndf=4),
                        Pix2PixHParams(gan_mode="wgangp"))
     state = task.init_state(jax.random.PRNGKey(0), SIZE, SIZE)
     state, metrics = task.train_step(state, batch, 2e-4)
     assert np.isfinite(metrics["D_loss/gp"]) and metrics["D_loss/gp"] > 0
+
+
+@pytest.mark.slow
+def test_wgangp_steps(rng):
+    """Slow twin: the gp term in the remaining families (cyclegan's two
+    critics; the distiller under bf16 compute, where the penalty norm must
+    stay f32)."""
+    batch = fake_batch(rng)
 
     cyc = CycleGANTask(tiny_gen(), NLayerDiscriminatorConfig(input_nc=3, ndf=4),
                        CycleGANHParams(gan_mode="wgangp"))
@@ -227,6 +236,7 @@ def test_distiller_ema(rng):
     assert dist0.student_eval_params(state0) is state0.g.params["G"]
 
 
+@pytest.mark.slow
 def test_cyclegan_remat_step_matches(rng):
     """hp.remat=True must be numerically identical (jax.checkpoint only
     changes what is stored vs recomputed)."""

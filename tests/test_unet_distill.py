@@ -31,6 +31,7 @@ def test_unet_forward_and_taps(rng):
 
 
 @pytest.mark.parametrize("loss_type", ["ka", "mse"])
+@pytest.mark.slow
 def test_unet_distillation_step(rng, loss_type):
     t_cfg, s_cfg = make(8), make(4)
     teacher, student = UNet(t_cfg), UNet(s_cfg)
@@ -56,6 +57,7 @@ def test_unet_distillation_step(rng, loss_type):
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_unet_distillation_step_bf16(rng):
     """bf16 compute path: params stay f32 masters, losses finite, step
     trains (tools/bench_unet_distill.py runs this config on-chip)."""
