@@ -105,6 +105,9 @@ def build():
         compute_dtype=COMPUTE_DTYPE,
         fused_norms=os.environ.get("BENCH_FUSED", "0") == "1",
         packed_blocks=os.environ.get("BENCH_PACKED", "1") == "1",
+        # opt-in quantised frozen teacher (ops/quant.py); tools/int8_e2e.py
+        # builds both variants through this knob for the A/B measurement
+        teacher_compute_dtype=os.environ.get("BENCH_TEACHER_DTYPE", ""),
     )
     log(f"shrink done ({res.searched_macs:,} MACs); initialising train state")
     dist = InceptionDistiller(teacher_cfg, res.config, hp=hp)
@@ -340,17 +343,28 @@ def main():
     vsb = _emit(ips, res, suffix, bootstrap=True)
     log(f"refined line emitted: {ips:.1f} img/s (vs_baseline {vsb:.3f})")
 
-    if os.environ.get("BENCH_SPADE", "0") == "1":
-        # Second-family flagship line: the GauGAN KA-distill step at the
-        # reference's 5p6B recipe scale (teacher ngf64, student shrunk to
-        # 5.6e9 MACs, 512x256, batch 32, bf16, packed + bf16-VGG, no remat
-        # — the measured-best config, tools/spade_perf.py; the remat
-        # boundary's layout copies cost 25% at b16 and b32 fits without
-        # it).  Env-gated OFF by
-        # default: the extra ~3-6 min cold compile would risk the driver
-        # gate's timeout (the round-2 gate died at rc=124); the committed
-        # numbers live in PARITY.md.  The headline inception line is
-        # re-emitted LAST either way (the driver parses the last line).
+    # Second-family flagship line: the GauGAN KA-distill step at the
+    # reference's 5p6B recipe scale (teacher ngf64, student shrunk to
+    # 5.6e9 MACs, 512x256, batch 32, bf16, packed + bf16-VGG, no remat —
+    # the measured-best config, tools/spade_perf.py; the remat boundary's
+    # layout copies cost 25% at b16 and b32 fits without it).  Runs BY
+    # DEFAULT under a wall-clock budget guard (VERDICT r4 #4): the phase
+    # only starts if the inception phase left enough of the driver gate's
+    # ~10-min window to absorb the 512x256 compile — and uses the same
+    # two-phase (low-effort first) compile trick so a provisional SPADE
+    # line lands within ~1 min of starting.  BENCH_SPADE=0 skips, =1
+    # forces regardless of budget.  The headline inception line is
+    # re-emitted LAST either way (the driver parses the last line).
+    spade_env = os.environ.get("BENCH_SPADE", "")
+    budget_s = float(os.environ.get("BENCH_SPADE_BUDGET_S", "300"))
+    elapsed = time.perf_counter() - _T0
+    if spade_env == "0":
+        log("SPADE phase skipped (BENCH_SPADE=0)")
+    elif spade_env != "1" and elapsed > budget_s:
+        log(f"SPADE phase skipped: {elapsed:.0f}s elapsed > {budget_s:.0f}s "
+            "budget (cold-cache inception phase ate the gate window; the "
+            "committed SPADE numbers live in PARITY.md)")
+    else:
         try:
             _spade_phase()
         except Exception as e:  # pragma: no cover
@@ -388,40 +402,72 @@ def _spade_phase():
 
     batch = make_batch(np.array([0, 3], np.uint32))
     jax.block_until_ready(batch)
-    log("SPADE phase: batch resident; compiling the fused step")
-    box = [state]
+    log("SPADE phase: batch resident; lowering the fused step")
+    lr = jnp.asarray(2e-4, jnp.float32)
 
-    def step():
-        s, m = dist.train_step(box[0], teacher_vars, batch, 2e-4)
-        box[0] = s
+    def _emit_spade(ips, suffix=""):
+        base = None
+        if os.path.exists(BASELINE_PATH):
+            with open(BASELINE_PATH) as f:
+                blob = json.load(f)
+            base = blob.get("spade_images_per_sec")
+            if base is None and not suffix:
+                blob["spade_images_per_sec"] = ips
+                with open(BASELINE_PATH, "w") as f:
+                    json.dump(blob, f, indent=2)
+        print(json.dumps({
+            "metric": ("gaugan-cityscapes KA-distill step throughput (teacher "
+                       f"ngf64 + student @{res.searched_macs / 1e9:.2f}e9 MACs, "
+                       f"{W}x{H}, batch {B}, bfloat16, packed, bf16-VGG"
+                       + suffix + ")"),
+            "value": round(ips, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / (base or ips), 4),
+        }), flush=True)
+        log(f"SPADE line emitted: {ips:.1f} img/s{suffix}")
+
+    def _measure(step_fn, box):
+        m = step_fn(box)
+        float(m["G_loss/gan"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            m = step_fn(box)
+        float(m["G_loss/gan"])
+        return B * args.iters / (time.perf_counter() - t0)
+
+    # same two-phase compile as the inception phase: a measured provisional
+    # line lands ~1 min in; the default-effort refine overwrites it (the
+    # driver keeps the full stdout tail, so both survive for the record)
+    t0 = time.perf_counter()
+    lowered = jax.jit(dist._step, donate_argnums=(0,)).lower(
+        state, teacher_vars, batch, lr)
+    log(f"SPADE step lowered ({time.perf_counter() - t0:.1f}s)")
+    box = [state]
+    try:
+        t0 = time.perf_counter()
+        fast = lowered.compile(
+            compiler_options={"exec_time_optimization_effort": -1.0})
+        log(f"SPADE low-effort executable in {time.perf_counter() - t0:.1f}s")
+    except Exception as e:  # pragma: no cover - backend without effort knob
+        log(f"SPADE two-phase compile unavailable ({e!r})")
+    else:
+        def fast_step(bx):
+            s, m = fast(bx[0], teacher_vars, batch, lr)
+            bx[0] = s
+            return m
+
+        _emit_spade(_measure(fast_step, box),
+                    ", provisional: low-effort compile")
+    t0 = time.perf_counter()
+    tuned = lowered.compile()
+    log(f"SPADE default-effort executable in {time.perf_counter() - t0:.1f}s")
+
+    def tuned_step(bx):
+        s, m = tuned(bx[0], teacher_vars, batch, lr)
+        bx[0] = s
         return m
 
-    m = step()
-    float(m["G_loss/gan"])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        m = step()
-    float(m["G_loss/gan"])
-    ips = B * args.iters / (time.perf_counter() - t0)
-
-    base = None
-    if os.path.exists(BASELINE_PATH):
-        with open(BASELINE_PATH) as f:
-            blob = json.load(f)
-        base = blob.get("spade_images_per_sec")
-        if base is None:
-            blob["spade_images_per_sec"] = ips
-            with open(BASELINE_PATH, "w") as f:
-                json.dump(blob, f, indent=2)
-    print(json.dumps({
-        "metric": ("gaugan-cityscapes KA-distill step throughput (teacher "
-                   f"ngf64 + student @{res.searched_macs / 1e9:.2f}e9 MACs, "
-                   f"{W}x{H}, batch {B}, bfloat16, packed, bf16-VGG)"),
-        "value": round(ips, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ips / (base or ips), 4),
-    }), flush=True)
-    log(f"SPADE line emitted: {ips:.1f} img/s")
+    _emit_spade(_measure(tuned_step, box))
 
 
 if __name__ == "__main__":

@@ -163,13 +163,15 @@ def train_arguments(parser: argparse.ArgumentParser):
                    help="train/distill-step compute dtype (f32 master "
                         "weights; bfloat16 runs convs single-pass on the MXU)")
     p.add_argument("--teacher_compute_dtype", type=str, default="",
-                   choices=["", "int8"],
+                   choices=["", "int8", "int8_static"],
                    help="frozen-teacher compute override (inception + SPADE "
                         "distillers): int8 runs the teacher forward with "
                         "dynamic int8 convolutions (per-channel weight "
                         "scales, int32 MXU accumulation, dequantised f32 "
-                        "KA taps — ops/quant.py); '' follows "
-                        "--compute_dtype")
+                        "KA taps — ops/quant.py); int8_static calibrates "
+                        "per-conv activation scales on the first batch and "
+                        "bakes them into the step (no per-step abs-max "
+                        "passes); '' follows --compute_dtype")
     p.add_argument("--vgg_compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="dtype of the VGG19 perceptual sweep (SPADE family). "

@@ -61,8 +61,12 @@ class DistillHParams:
     # executes the teacher forward with dynamic int8 convolutions
     # (ops/quant.int8_call — per-channel weight scales, per-tensor dynamic
     # activation scales, int32 MXU accumulation, dequantised f32 taps for
-    # the KA loss).  The teacher is inference-only and ~48% of the step;
-    # the v5e MXU doubles peak at int8.  Measured verdict in PARITY.md.
+    # the KA loss); 'int8_static' additionally calibrates the per-conv
+    # activation scales on the first batch (calibrate_teacher) and bakes
+    # them into the step as constants, eliding every per-step abs-max
+    # pass so the quantise fuses into each activation's producer.  The
+    # teacher is inference-only and ~48% of the step; the v5e MXU doubles
+    # peak at int8.  Measured verdict in PARITY.md.
     teacher_compute_dtype: str = ""
     # route affine instance-norm+relu through the single-pass Pallas kernel
     fused_norms: bool = False
@@ -121,6 +125,7 @@ class InceptionDistiller:
         self.netD = NLayerDiscriminator(disc_cfg, hp.init_type, hp.init_gain)
         self.netA = Adaptor(features=teacher_cfg.bottleneck)
         self.tx = adam_tx(hp.beta1)
+        self._act_scales = None  # set by calibrate_teacher (int8_static)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._gen_student = jax.jit(
             lambda params, stats, x: apply_net(
@@ -242,16 +247,30 @@ class InceptionDistiller:
         rng, r_drop, r_gp = jax.random.split(state.rng, 3)
 
         # --- teacher forward: frozen, eval mode ---
-        if hp.teacher_compute_dtype == "int8":
+        if hp.teacher_compute_dtype.startswith("int8"):
             from cat_tpu.ops.quant import int8_call
 
+            scales = None
+            if hp.teacher_compute_dtype == "int8_static":
+                scales = self._act_scales
+                if scales is None:
+                    raise ValueError(
+                        "teacher_compute_dtype='int8_static' requires "
+                        "calibrate_teacher() before compiling the step "
+                        "(train_step does this automatically on its "
+                        "first batch)")
+            # trace in the compute dtype: non-conv ops (norms, activations,
+            # pads) keep bf16 HBM traffic exactly like the bf16 teacher;
+            # only the convs are rewritten to int8 MXU ops (f32 scale math
+            # inside int8_conv, output cast back to bf16)
             (t_fake, t_acts), _ = int8_call(
                 lambda p, x: apply_net(
                     self.netG_teacher, p,
                     teacher_variables.get("batch_stats", {}),
                     x, train=False, taps=taps,
                 ),
-                teacher_variables["params"], up(real_A),
+                down(teacher_variables["params"]), real_A,
+                act_scales=scales,
             )
         else:
             (t_fake, t_acts), _ = apply_net(
@@ -384,7 +403,41 @@ class InceptionDistiller:
         }
         return new_state, metrics
 
+    def calibrate_teacher(self, teacher_variables: Dict, x: jnp.ndarray):
+        """Static-range int8 calibration: one dynamic-int8 teacher forward
+        over a representative batch, recording each conv's activation
+        scale.  Stored as host floats so they bake into the subsequently
+        compiled step executable as constants (no per-step abs-max)."""
+        from cat_tpu.ops.quant import int8_calibrate
+        from cat_tpu.train.common import cast_floats
+
+        cdt = jnp.dtype(self.hp.compute_dtype)
+        taps = self.hp.mapping_layers
+
+        @jax.jit
+        def _cal(p, xx):
+            # stack to ONE device array: a single host fetch instead of one
+            # blocking scalar round trip per conv (69 trips cost ~10 min
+            # over the axon tunnel)
+            return jnp.stack(int8_calibrate(
+                lambda pp, b: apply_net(
+                    self.netG_teacher, pp,
+                    teacher_variables.get("batch_stats", {}),
+                    b, train=False, taps=taps,
+                ),
+                p, xx,
+            )[1])
+
+        import numpy as np
+        scales = np.asarray(_cal(cast_floats(teacher_variables["params"], cdt),
+                                 cast_floats(x, cdt)))
+        self._act_scales = tuple(float(s) for s in scales)
+        return self._act_scales
+
     def train_step(self, state, teacher_variables, batch, lr):
+        if (self.hp.teacher_compute_dtype == "int8_static"
+                and self._act_scales is None):
+            self.calibrate_teacher(teacher_variables, batch["A"])
         return self._train_step(
             state, teacher_variables, batch, jnp.asarray(lr, jnp.float32)
         )

@@ -129,6 +129,7 @@ class SPADEDistiller:
                                            packed_blocks=hp.packed_blocks)
         self.netD = MultiscaleDiscriminator(self.disc_cfg, hp.init_type, hp.init_gain)
         self.tx = adam_tx(hp.beta1, hp.beta2)
+        self._act_scales = None  # set by calibrate_teacher (int8_static)
         self._train_step = jax.jit(self._step, donate_argnums=(0,))
         self._gen_student = jax.jit(
             lambda p, s, x: self._apply(self.netG_student, p, s, x, False)[0]
@@ -273,13 +274,25 @@ class SPADEDistiller:
         taps = hp.mapping_layers
 
         t_stats = {k: v for k, v in teacher_variables.items() if k != "params"}
-        if hp.teacher_compute_dtype == "int8":
+        if hp.teacher_compute_dtype.startswith("int8"):
             from cat_tpu.ops.quant import int8_call
 
+            scales = None
+            if hp.teacher_compute_dtype == "int8_static":
+                scales = self._act_scales
+                if scales is None:
+                    raise ValueError(
+                        "teacher_compute_dtype='int8_static' requires "
+                        "calibrate_teacher() before compiling the step "
+                        "(train_step does this automatically on its "
+                        "first batch)")
+            # trace in the compute dtype (see inception_distiller): non-conv
+            # ops keep bf16 HBM traffic; only convs run int8 on the MXU
             (t_fake, t_acts), _ = int8_call(
                 lambda p, s: self._apply(self.netG_teacher, p, t_stats, s,
                                          train=False, taps=taps),
-                teacher_variables["params"], up(sem),
+                down(teacher_variables["params"]), sem,
+                act_scales=scales,
             )
         else:
             (t_fake, t_acts), _ = self._apply(
@@ -399,7 +412,38 @@ class SPADEDistiller:
         }
         return new_state, metrics
 
+    def calibrate_teacher(self, teacher_variables: Dict,
+                          batch: Dict[str, jnp.ndarray]):
+        """Static-range int8 calibration on one representative batch
+        (see InceptionDistiller.calibrate_teacher)."""
+        from cat_tpu.ops.quant import int8_calibrate
+        from cat_tpu.train.common import cast_floats
+
+        cdt = jnp.dtype(self.hp.compute_dtype)
+        taps = self.hp.mapping_layers
+        t_stats = {k: v for k, v in teacher_variables.items()
+                   if k != "params"}
+
+        @jax.jit
+        def _cal(p, s):
+            # stack to ONE device array: a single host fetch instead of one
+            # blocking scalar round trip per conv (see inception variant)
+            return jnp.stack(int8_calibrate(
+                lambda pp, ss: self._apply(self.netG_teacher, pp, t_stats,
+                                           ss, train=False, taps=taps),
+                p, s,
+            )[1])
+
+        import numpy as np
+        scales = np.asarray(_cal(cast_floats(teacher_variables["params"], cdt),
+                                 cast_floats(self._semantics(batch), cdt)))
+        self._act_scales = tuple(float(s) for s in scales)
+        return self._act_scales
+
     def train_step(self, state, teacher_variables, batch, lr):
+        if (self.hp.teacher_compute_dtype == "int8_static"
+                and self._act_scales is None):
+            self.calibrate_teacher(teacher_variables, batch)
         return self._train_step(state, teacher_variables, batch,
                                 jnp.asarray(lr, jnp.float32))
 

@@ -139,3 +139,64 @@ def test_distill_step_with_int8_teacher():
     assert all(bool(jnp.isfinite(v)) for v in jax.tree.leaves(metrics)), metrics
     state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
     assert all(bool(jnp.isfinite(v)) for v in jax.tree.leaves(metrics))
+
+
+def test_int8_static_scales_match_dynamic_on_calibration_batch():
+    """int8_calibrate's recorded scales reproduce the dynamic result
+    exactly when fed back on the same batch (same per-conv scale values)."""
+    from cat_tpu.ops.quant import int8_calibrate
+
+    cfg = tiny_cfg()
+    m = InceptionGenerator(cfg, packed_blocks=True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def fwd(params, x):
+        return m.apply({"params": params}, x, taps=("encode",))
+
+    (y_dyn, _), scales = jax.jit(
+        lambda p, xx: int8_calibrate(fwd, p, xx))(v["params"], x)
+    scales = tuple(float(s) for s in scales)
+    assert len(scales) > 4 and all(s > 0 for s in scales)
+    y_st, _ = jax.jit(
+        lambda p, xx: int8_call(fwd, p, xx, act_scales=scales))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_dyn),
+                               rtol=0, atol=1e-6)
+    # wrong scale count is a loud error, not silent misalignment
+    with pytest.raises(ValueError):
+        jax.jit(lambda p, xx: int8_call(
+            fwd, p, xx, act_scales=scales[:-1]))(v["params"], x)
+
+
+def test_distill_step_with_int8_static_teacher():
+    """train_step auto-calibrates on the first batch, then the compiled
+    step (fixed scales baked as constants) trains finitely."""
+    from cat_tpu.distill.inception_distiller import (
+        DistillHParams,
+        InceptionDistiller,
+    )
+
+    size = 32
+    hp = DistillHParams(
+        dataset_mode="unaligned", gan_mode="lsgan", distill_loss_type="ka",
+        lambda_recon=5.0, mapping_layers=("encode",),
+        teacher_compute_dtype="int8_static",
+    )
+    dist = InceptionDistiller(tiny_cfg(8, blocks=1), tiny_cfg(4, blocks=1),
+                              hp=hp)
+    teacher_vars = dist.netG_teacher.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, size, size, 3)))
+    state, teacher_vars = dist.init_state(
+        jax.random.PRNGKey(0), size, size, teacher_vars)
+    rng = np.random.RandomState(2)
+    batch = {
+        "A": jnp.asarray(rng.randn(2, size, size, 3), jnp.float32),
+        "B": jnp.asarray(rng.randn(2, size, size, 3), jnp.float32),
+    }
+    assert dist._act_scales is None
+    state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    assert dist._act_scales is not None and len(dist._act_scales) > 0
+    assert all(bool(jnp.isfinite(v)) for v in jax.tree.leaves(metrics))
+    state, metrics = dist.train_step(state, teacher_vars, batch, 2e-4)
+    assert all(bool(jnp.isfinite(v)) for v in jax.tree.leaves(metrics))
