@@ -27,6 +27,47 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 
+def _host_keyed_cache_dir(base: str) -> str:
+    """Key a cache dir by a host-CPU fingerprint (idempotent).
+
+    XLA:CPU AOT cache entries embed the compile host's CPU features;
+    entries written on another machine fail to load (cpu_aot_loader
+    feature-mismatch) and every kernel silently — and slowly — recompiles.
+    TPU entries AOT-load fine cross-host, so only CPU-backend runs are
+    keyed; each host then populates its own CPU entries once.
+    """
+    import hashlib
+    import os
+    import platform
+
+    if "-cpu" + os.sep in base:  # already keyed
+        return base
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu = [ln for ln in f if ln.startswith("flags")][0]
+    except (OSError, IndexError):
+        cpu = platform.processor() or platform.machine()
+    tag = hashlib.sha256(cpu.encode()).hexdigest()[:12]
+    return os.path.join(base + "-cpu", tag)
+
+
+def _rekey_cache_for_cpu() -> None:
+    """Re-point the live jax compilation cache at the host-keyed CPU dir.
+
+    Call after forcing ``jax_platforms=cpu`` in a process where cat_tpu
+    (and hence the shared cache dir) may already be configured.
+    """
+    try:
+        import jax
+
+        base = jax.config.jax_compilation_cache_dir
+        if base:
+            jax.config.update("jax_compilation_cache_dir",
+                              _host_keyed_cache_dir(base))
+    except Exception:
+        pass
+
+
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache (importing cat_tpu is the opt-in).
 
@@ -48,6 +89,9 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        if (os.environ.get("JAX_PLATFORMS") == "cpu"
+                or jax.config.jax_platforms == "cpu"):
+            cache_dir = _host_keyed_cache_dir(cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -35,6 +35,13 @@ import cat_tpu  # noqa: E402,F401  (wires the persistent cache first)
 
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# Key the CPU-backend cache by a host fingerprint (see
+# cat_tpu._host_keyed_cache_dir) — cross-host XLA:CPU AOT entries fail to
+# load and silently recompile, slowing the whole lane several-fold.  The
+# package init keys it when JAX_PLATFORMS=cpu (set above); this re-key is
+# the belt-and-suspenders for any import-order variation (idempotent).
+cat_tpu._rekey_cache_for_cpu()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
