@@ -391,6 +391,22 @@ def nearest_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     in_h, in_w = x.shape[1], x.shape[2]
     if (in_h, in_w) == (h, w):
         return x
+    b, c = x.shape[0], x.shape[3]
+    # Integer-factor fast paths: the segmap pyramid is resampled at EVERY
+    # SPADE norm (the generator's resolutions are all power-of-two related),
+    # and the general row/col gather was ~8% of the b32 512x256 train step
+    # on-chip.  An exact-factor downscale under the floor convention picks
+    # src = dst*s, i.e. a strided slice; an exact-factor upscale repeats each
+    # src pixel s times, i.e. a broadcast+reshape — both lower to cheap
+    # layout ops on TPU instead of gathers.
+    if in_h % h == 0 and in_w % w == 0:
+        sh, sw = in_h // h, in_w // w
+        return x[:, ::sh, ::sw]
+    if h % in_h == 0 and w % in_w == 0:
+        sh, sw = h // in_h, w // in_w
+        y = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, in_h, sh, in_w, sw, c))
+        return y.reshape(b, h, w, c)
     rows = (jnp.arange(h) * in_h // h).astype(jnp.int32)
     cols = (jnp.arange(w) * in_w // w).astype(jnp.int32)
     return x[:, rows][:, :, cols]
