@@ -54,6 +54,36 @@ def test_preprocess_input_one_hot():
     assert sem[0, 0, 0, 3] == 1.0
 
 
+def test_nearest_resize_fast_paths_match_gather():
+    """Integer-factor slice/broadcast fast paths are bit-exact vs the
+    general floor-convention gather (the torch F.interpolate(nearest)
+    semantics every segmap resize must keep — reference
+    models/modules/spade_modules/spade.py F.interpolate calls)."""
+    from cat_tpu.models.spade import nearest_resize
+
+    def gather_ref(x, h, w):
+        in_h, in_w = x.shape[1], x.shape[2]
+        rows = (jnp.arange(h) * in_h // h).astype(jnp.int32)
+        cols = (jnp.arange(w) * in_w // w).astype(jnp.int32)
+        return x[:, rows][:, :, cols]
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (64, 128, 32, 64),    # integer downscale -> strided slice
+        (64, 128, 4, 8),      # deep pyramid downscale
+        (4, 8, 32, 64),       # integer upscale -> broadcast+reshape
+        (8, 16, 8, 16),       # identity
+        (50, 100, 32, 64),    # non-integer: gather fallback
+        (32, 64, 50, 100),    # non-integer upscale fallback
+    ]
+    for ih, iw, h, w in cases:
+        x = jnp.asarray(rng.normal(size=(2, ih, iw, 3)).astype(np.float32))
+        got = np.asarray(nearest_resize(x, h, w))
+        want = np.asarray(gather_ref(x, h, w))
+        assert got.shape == want.shape == (2, h, w, 3)
+        np.testing.assert_array_equal(got, want, err_msg=f"{(ih, iw, h, w)}")
+
+
 def test_instance_edges():
     inst = jnp.asarray([[[1, 1, 2], [1, 1, 2], [3, 3, 3]]], jnp.float32)
     e = instance_edges(inst)
